@@ -1,0 +1,225 @@
+"""Model tests: shapes, param counts vs the reference diagram
+(docs/net.jpg annotations), GRU math vs torch, streaming-vs-offline
+equivalence with TGRU carry (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinyrecurrentunet_tpu.config import FeaturizerConfig, NetworkConfig
+from tinyrecurrentunet_tpu.models import TRUNet, denoised_spec_from_output, phase_aware_mask
+from tinyrecurrentunet_tpu.models.phm import denoise_output_to_audio
+from tinyrecurrentunet_tpu.ops.conv import conv_transpose1d, pad_or_crop
+from tinyrecurrentunet_tpu.ops.gru import gru_scan, gru_step
+from tinyrecurrentunet_tpu.signal import Featurizer
+
+
+def _init_model(cfg=None, t=16, f=257):
+    cfg = cfg or NetworkConfig()
+    model = TRUNet(cfg)
+    x = jnp.zeros((t, f, cfg.input_size))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model, variables
+
+
+def _count(tree):
+    return sum(np.prod(x.shape) for x in jax.tree.leaves(tree))
+
+
+class TestGRUOps:
+    def test_matches_torch_gru(self, rng):
+        torch = pytest.importorskip("torch")
+        B, L, D, H = 3, 11, 8, 5
+        tg = torch.nn.GRU(D, H, batch_first=True)
+        x = rng.standard_normal((B, L, D)).astype(np.float32)
+        with torch.no_grad():
+            ref, ref_h = tg(torch.from_numpy(x))
+        wi = tg.weight_ih_l0.detach().numpy().T  # (D, 3H)
+        wh = tg.weight_hh_l0.detach().numpy().T
+        bi = tg.bias_ih_l0.detach().numpy()
+        bh = tg.bias_hh_l0.detach().numpy()
+        ours, h = gru_scan(
+            jnp.asarray(x), jnp.zeros((B, H)), jnp.asarray(wi), jnp.asarray(wh),
+            jnp.asarray(bi), jnp.asarray(bh),
+        )
+        np.testing.assert_allclose(np.asarray(ours), ref.numpy(), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h), ref_h[0].numpy(), rtol=1e-4, atol=1e-5)
+
+    def test_step_equals_scan(self, rng):
+        B, L, D, H = 2, 9, 6, 4
+        x = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
+        params = [
+            jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.3)
+            for s in [(D, 3 * H), (H, 3 * H), (3 * H,), (3 * H,)]
+        ]
+        full, h_final = gru_scan(x, jnp.zeros((B, H)), *params)
+        h = jnp.zeros((B, H))
+        for t in range(L):
+            h = gru_step(x[:, t], h, *params)
+            np.testing.assert_allclose(np.asarray(h), np.asarray(full[:, t]), rtol=1e-5, atol=1e-6)
+
+    def test_conv_transpose_length(self, rng):
+        # torch: L_out = (L-1)*s - 2p + k
+        torch = pytest.importorskip("torch")
+        for L, k, s in [(16, 3, 2), (32, 5, 2), (64, 3, 1)]:
+            p = s // 2
+            x = jnp.asarray(rng.standard_normal((1, L, 4)).astype(np.float32))
+            w = jnp.asarray(rng.standard_normal((k, 4, 4)).astype(np.float32))
+            out = conv_transpose1d(x, w, s, p)
+            expect = (L - 1) * s - 2 * p + k
+            assert out.shape == (1, expect, 4)
+        # and value parity with torch conv_transpose1d
+        tc = torch.nn.ConvTranspose1d(4, 4, 5, stride=2, padding=1, bias=False)
+        x = rng.standard_normal((1, 4, 20)).astype(np.float32)
+        with torch.no_grad():
+            ref = tc(torch.from_numpy(x)).numpy()
+        # torch weight (Cin, Cout, k); ours (k, Cin, Cout), cross-correlation
+        # vs gradient-of-conv: torch flips the kernel relative to lhs-dilated
+        # correlation, so flip the spatial axis.
+        w = np.flip(tc.weight.detach().numpy().transpose(2, 0, 1), axis=0).copy()
+        ours = conv_transpose1d(
+            jnp.asarray(x.transpose(0, 2, 1)), jnp.asarray(w), 2, 1
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours).transpose(0, 2, 1), ref, rtol=1e-4, atol=1e-5
+        )
+
+    def test_pad_or_crop_matches_reference_semantics(self):
+        x = jnp.arange(10.0).reshape(1, 10, 1)
+        assert pad_or_crop(x, 12, axis=1).shape == (1, 12, 1)
+        # diff=2 -> pad 1 front, 1 back
+        padded = pad_or_crop(x, 12, axis=1)[0, :, 0]
+        assert padded[0] == 0 and padded[-1] == 0 and padded[1] == 0.0
+        # crop: diff=-1 -> crop 1 from the front (torch F.pad([-1,0]))
+        cropped = pad_or_crop(x, 9, axis=1)[0, :, 0]
+        np.testing.assert_array_equal(np.asarray(cropped), np.arange(1.0, 10.0))
+        # diff=-2 -> one from each side
+        cropped2 = pad_or_crop(x, 8, axis=1)[0, :, 0]
+        np.testing.assert_array_equal(np.asarray(cropped2), np.arange(1.0, 9.0))
+
+
+class TestTRUNet:
+    def test_output_shape(self):
+        model, variables = _init_model(t=8)
+        x = jnp.zeros((8, 257, 4))
+        y, h = model.apply(variables, x)
+        assert y.shape == (8, 257, 8)
+        assert h.shape == (1, model.bottleneck_freqs(257), 128)
+
+    def test_batched_shape(self):
+        model, variables = _init_model(t=4)
+        x = jnp.zeros((2, 4, 257, 4))
+        y, h = model.apply(variables, x)
+        assert y.shape == (2, 4, 257, 8)
+        assert h.shape == (2, 16, 128)
+
+    def test_bottleneck_freqs(self):
+        model = TRUNet(NetworkConfig())
+        # 257 -> 128 -> 128 -> 64 -> 64 -> 32 -> 16
+        assert model.bottleneck_freqs(257) == 16
+
+    def test_param_counts_match_reference_diagram(self):
+        """Per-block param counts vs docs/net.jpg: encoder convs 81,344;
+        FGRU 82,880; TGRU 82,880. (The diagram's TrCNN total, 133,777,
+        undercounts the blocks' BN params; the structural count is 134,368 —
+        see SURVEY.md §6.)"""
+        model, variables = _init_model()
+        params = variables["params"]
+        enc = [v for k, v in params.items() if "Conv1d" in k]
+        assert _count(enc) == 81_344
+        fgru = params["GRUBlock_0"]
+        tgru = params["GRUBlock_1"]
+        assert _count(fgru) == 82_880
+        assert _count(tgru) == 82_880
+        dec = [v for k, v in params.items() if "TrCNN" in k]
+        assert _count(dec) == 134_368
+        assert _count(params) == 381_472
+
+    def test_param_count_3ch(self):
+        cfg = NetworkConfig(input_size=3, output_size=6)
+        model = TRUNet(cfg)
+        x = jnp.zeros((4, 257, 3))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        y, _ = model.apply(variables, x)
+        assert y.shape == (4, 257, 6)
+
+    def test_streaming_equals_offline(self, rng):
+        """Frame-by-frame steps with carried TGRU state == full-sequence
+        forward (the contract the reference's rt.py single-frame benchmark
+        assumes, reference `rt.py:21`)."""
+        model, variables = _init_model(t=6)
+        x = jnp.asarray(rng.standard_normal((6, 257, 4)).astype(np.float32))
+        full, _ = model.apply(variables, x)
+        h = model.init_tgru_state(1, 257)[0]
+        outs = []
+        for t in range(6):
+            y_t, h = model.apply(variables, x[t : t + 1], h)
+            outs.append(np.asarray(y_t[0]))
+        np.testing.assert_allclose(
+            np.stack(outs), np.asarray(full), rtol=1e-4, atol=1e-5
+        )
+
+    def test_batch_consistency(self, rng):
+        """Batched forward == per-clip forwards (inference mode)."""
+        model, variables = _init_model(t=5)
+        x = jnp.asarray(rng.standard_normal((3, 5, 257, 4)).astype(np.float32))
+        batched, _ = model.apply(variables, x)
+        for b in range(3):
+            single, _ = model.apply(variables, x[b])
+            np.testing.assert_allclose(
+                np.asarray(batched[b]), np.asarray(single), rtol=1e-4, atol=1e-5
+            )
+
+    def test_train_mode_updates_batch_stats(self, rng):
+        model, variables = _init_model(t=4)
+        x = jnp.asarray(rng.standard_normal((4, 257, 4)).astype(np.float32))
+        (y, h), updates = model.apply(
+            variables, x, train=True, mutable=["batch_stats"]
+        )
+        before = jax.tree.leaves(variables["batch_stats"])
+        after = jax.tree.leaves(updates["batch_stats"])
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(after, before)
+        )
+
+    def test_bfloat16_compute(self, rng):
+        cfg = NetworkConfig(compute_dtype="bfloat16")
+        model = TRUNet(cfg)
+        x = jnp.asarray(rng.standard_normal((4, 257, 4)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        y, _ = model.apply(variables, x)
+        assert y.dtype == jnp.float32  # outputs promoted back
+        assert np.all(np.isfinite(np.asarray(y)))
+
+
+class TestPHM:
+    def test_mask_range_and_formula(self, rng):
+        pm = jnp.asarray(rng.uniform(-np.pi, np.pi, (10, 20)).astype(np.float32))
+        pe = jnp.asarray(rng.uniform(-np.pi, np.pi, (10, 20)).astype(np.float32))
+        mask = phase_aware_mask(pm, pe, beta=0.5)
+        assert np.all((np.asarray(mask) > 0) & (np.asarray(mask) < 1))
+        expect = 1.0 / (1.0 + np.exp(-0.5 * (np.asarray(pm) - np.asarray(pe))))
+        np.testing.assert_allclose(np.asarray(mask), expect, rtol=1e-5)
+
+    def test_head_end_to_end(self, rng):
+        """net output -> PHM -> iSTFT produces a finite waveform of the
+        right length, differentiably."""
+        fz = Featurizer(FeaturizerConfig())
+        ncfg = NetworkConfig()
+        out = jnp.asarray(rng.standard_normal((10, 257, 8)).astype(np.float32) * 0.1)
+
+        def f(o):
+            return jnp.sum(jnp.abs(denoise_output_to_audio(o, fz, ncfg)))
+
+        audio = denoise_output_to_audio(out, fz, ncfg)
+        assert audio.shape == (9 * 128,)
+        g = jax.grad(f)(out)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_spec_shape(self, rng):
+        fz = Featurizer(FeaturizerConfig())
+        out = jnp.asarray(rng.standard_normal((4, 257, 8)).astype(np.float32))
+        spec = denoised_spec_from_output(out, fz)
+        assert spec.shape == (4, 257)
+        assert spec.dtype == jnp.complex64

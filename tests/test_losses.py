@@ -1,0 +1,158 @@
+"""Loss tests: MR-STFT parity vs a torch recreation of the reference math,
+cosine-sim golden values, composite loss jit/grad (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinyrecurrentunet_tpu.config import (
+    FeaturizerConfig,
+    LossConfig,
+    NetworkConfig,
+    STFTLossConfig,
+)
+from tinyrecurrentunet_tpu.losses import MultiResolutionSTFTLoss, cossim_loss, loss_fn
+from tinyrecurrentunet_tpu.models import TRUNet
+from tinyrecurrentunet_tpu.signal import Featurizer
+
+
+class TestMRSTFT:
+    def test_matches_reference_math(self, rng):
+        """Recreate the reference's torch pipeline (stft_loss.py:116-166)
+        value-for-value."""
+        torch = pytest.importorskip("torch")
+        x = rng.standard_normal((2, 8000)).astype(np.float32) * 0.1
+        y = (x + 0.01 * rng.standard_normal((2, 8000))).astype(np.float32)
+
+        cfg = STFTLossConfig()
+        ours_sc, ours_mag = MultiResolutionSTFTLoss(cfg)(jnp.asarray(x), jnp.asarray(y))
+
+        def t_stft(sig, fs, hs, wl):
+            st = torch.stft(
+                torch.from_numpy(sig), fs, hs, wl, torch.hann_window(wl),
+                return_complex=False,
+            )
+            return torch.sqrt(
+                torch.clamp(st[..., 0] ** 2 + st[..., 1] ** 2, min=1e-7)
+            ).transpose(2, 1)
+
+        sc, mag = 0.0, 0.0
+        for fs, hs, wl in zip(cfg.fft_sizes, cfg.hop_sizes, cfg.win_lengths):
+            xm, ym = t_stft(x, fs, hs, wl), t_stft(y, fs, hs, wl)
+            sc += (torch.norm(ym - xm, p="fro") / torch.norm(ym, p="fro")).item()
+            mag += torch.nn.functional.l1_loss(torch.log(ym), torch.log(xm)).item()
+        n = len(cfg.fft_sizes)
+        np.testing.assert_allclose(float(ours_sc), sc * cfg.sc_lambda / n, rtol=1e-3)
+        np.testing.assert_allclose(float(ours_mag), mag * cfg.mag_lambda / n, rtol=1e-3)
+
+    def test_zero_for_identical(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 4000)).astype(np.float32))
+        sc, mag = MultiResolutionSTFTLoss()(x, x)
+        assert float(sc) == pytest.approx(0.0, abs=1e-6)
+        assert float(mag) == pytest.approx(0.0, abs=1e-6)
+
+    def test_high_band(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 4000)).astype(np.float32))
+        y = x + 0.1
+        cfg = STFTLossConfig(band="high")
+        sc, mag = MultiResolutionSTFTLoss(cfg)(x, y)
+        assert np.isfinite(float(sc)) and np.isfinite(float(mag))
+
+    def test_gradients_finite_at_silence(self):
+        """The 1e-7 clamp must keep gradients finite for silent inputs
+        (the NaN guard the reference inherited, stft_loss.py:29-30)."""
+        x = jnp.zeros((1, 4000))
+        y = jnp.ones((1, 4000)) * 0.01
+
+        def f(a):
+            sc, mag = MultiResolutionSTFTLoss()(a, y)
+            return sc + mag
+
+        g = jax.grad(f)(x)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestCosSim:
+    def test_identical_is_zero(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 4096)).astype(np.float32))
+        assert float(cossim_loss(x, x)) == pytest.approx(0.0, abs=1e-5)
+
+    def test_opposite_is_two(self, rng):
+        x = jnp.asarray(rng.standard_normal((2, 4096)).astype(np.float32))
+        assert float(cossim_loss(x, -x)) == pytest.approx(2.0, abs=1e-4)
+
+    def test_differentiable(self, rng):
+        x = jnp.asarray(rng.standard_normal((4096,)).astype(np.float32))
+        g = jax.grad(lambda a: cossim_loss(a, x * 0.5))(x)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestCompositeLoss:
+    def _setup(self, rng, batch=None, length=12800):
+        fz = Featurizer(FeaturizerConfig())
+        ncfg = NetworkConfig()
+        model = TRUNet(ncfg)
+        shape = (length,) if batch is None else (batch, length)
+        clean = jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 0.1)
+        noisy = clean + jnp.asarray(
+            rng.standard_normal(shape).astype(np.float32) * 0.02
+        )
+        variables = model.init(jax.random.PRNGKey(0), fz(noisy))
+        return fz, ncfg, model, variables, clean, noisy
+
+    def test_jit_and_grad_single_program(self, rng):
+        """loss_fn must jit (featurize+net+mask+istft+losses in ONE program)
+        and yield finite grads."""
+        fz, ncfg, model, variables, clean, noisy = self._setup(rng)
+        lcfg = LossConfig(cossim_lambda=0.1)
+
+        @jax.jit
+        def step(params, batch_stats, clean, noisy):
+            def inner(p):
+                loss, d, bs = loss_fn(
+                    model.apply, p, batch_stats, clean, noisy, fz, ncfg, lcfg
+                )
+                return loss, (d, bs)
+
+            (loss, (d, bs)), grads = jax.value_and_grad(inner, has_aux=True)(params)
+            return loss, d, grads
+
+        loss, d, grads = step(
+            variables["params"], variables["batch_stats"], clean, noisy
+        )
+        assert np.isfinite(float(loss)) and float(loss) > 0
+        assert set(d) >= {"ell_p", "stft_sc", "stft_mag", "cossim", "loss"}
+        flat = jax.tree.leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+        assert any(np.any(np.asarray(g) != 0) for g in flat)
+
+    def test_batched(self, rng):
+        fz, ncfg, model, variables, clean, noisy = self._setup(rng, batch=2)
+        loss, d, bs = loss_fn(
+            model.apply,
+            variables["params"],
+            variables["batch_stats"],
+            clean,
+            noisy,
+            fz,
+            ncfg,
+            LossConfig(),
+        )
+        assert np.isfinite(float(loss))
+
+    def test_eval_mode_does_not_mutate_stats(self, rng):
+        fz, ncfg, model, variables, clean, noisy = self._setup(rng)
+        _, _, bs = loss_fn(
+            model.apply,
+            variables["params"],
+            variables["batch_stats"],
+            clean,
+            noisy,
+            fz,
+            ncfg,
+            LossConfig(),
+            train=False,
+        )
+        for a, b in zip(jax.tree.leaves(bs), jax.tree.leaves(variables["batch_stats"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

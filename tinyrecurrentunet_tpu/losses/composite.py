@@ -1,0 +1,95 @@
+"""The composite training loss: the reference's intended `loss_fn`, finished.
+
+Completes what the reference left unparseable (reference `util.py:186-251`,
+defect D7): noisy waveform -> featurize -> network -> split mixture/noise
+feature sets -> phase-aware mask -> re-modulate -> iSTFT -> waveform losses
+(ell_p + multi-resolution STFT [+ optional cosine similarity]).
+
+The entire path is one pure function of (params, batch), so under jit it
+compiles to a single fused XLA program including both STFT directions —
+the "reconstruct audio on-device for the loss" memory optimization the
+reference README describes (`README.md:50`) and BASELINE.json requires.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax.numpy as jnp
+
+from tinyrecurrentunet_tpu.config import LossConfig, NetworkConfig
+from tinyrecurrentunet_tpu.losses.cossim import cossim_loss
+from tinyrecurrentunet_tpu.losses.mrstft import MultiResolutionSTFTLoss
+from tinyrecurrentunet_tpu.models.phm import denoise_output_to_audio
+from tinyrecurrentunet_tpu.signal.features import Featurizer
+
+
+def loss_fn(
+    apply_fn: Callable,
+    params: Any,
+    batch_stats: Any,
+    clean_audio: jnp.ndarray,
+    noisy_audio: jnp.ndarray,
+    featurizer: Featurizer,
+    network_config: NetworkConfig,
+    loss_config: LossConfig,
+    train: bool = True,
+):
+    """Compute the composite loss.
+
+    Args:
+      apply_fn: the model's `.apply`.
+      params / batch_stats: flax collections.
+      clean_audio / noisy_audio: (B, L) or (L,) waveforms.
+      train: when True, batch stats update and are returned.
+
+    Returns:
+      (loss, loss_dict, new_batch_stats) — loss_dict mirrors the reference's
+      per-term output dict (reference `util.py:243-250`).
+    """
+    variables = {"params": params, "batch_stats": batch_stats}
+    noisy_feat = featurizer(noisy_audio)
+
+    if train:
+        (output, _), updates = apply_fn(
+            variables, noisy_feat, train=True, mutable=["batch_stats"]
+        )
+        new_batch_stats = updates["batch_stats"]
+    else:
+        output, _ = apply_fn(variables, noisy_feat)
+        new_batch_stats = batch_stats
+
+    denoised = denoise_output_to_audio(
+        output, featurizer, network_config, length=clean_audio.shape[-1]
+    )
+
+    loss_dict = {}
+    loss = 0.0
+
+    # ell_p reconstruction loss on the waveform (reference `util.py:239-243`).
+    err = denoised - clean_audio
+    if loss_config.ell_p == 1:
+        ell_p_loss = jnp.mean(jnp.abs(err))
+    elif loss_config.ell_p == 2:
+        ell_p_loss = jnp.mean(err * err)
+    else:
+        raise ValueError(f"ell_p must be 1 or 2, got {loss_config.ell_p}")
+    loss += loss_config.ell_p_lambda * ell_p_loss
+    loss_dict["ell_p"] = ell_p_loss
+
+    # Multi-resolution STFT loss (reference `util.py:246-250`).
+    if loss_config.stft_lambda > 0:
+        mrstft = MultiResolutionSTFTLoss(loss_config.stft_config)
+        sc_loss, mag_loss = mrstft(denoised, clean_audio)
+        loss += (sc_loss + mag_loss) * loss_config.stft_lambda
+        loss_dict["stft_sc"] = sc_loss * loss_config.stft_lambda
+        loss_dict["stft_mag"] = mag_loss * loss_config.stft_lambda
+
+    # Optional cosine-similarity term (reference capability, D18 fixed).
+    if loss_config.cossim_lambda > 0:
+        cs = cossim_loss(denoised, clean_audio)
+        loss += loss_config.cossim_lambda * cs
+        loss_dict["cossim"] = cs
+
+    loss_dict["loss"] = loss
+    return loss, loss_dict, new_batch_stats

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from tinyrecurrentunet_tpu.config import FeaturizerConfig, NetworkConfig
-from tinyrecurrentunet_tpu.signal.features import Featurizer
+from tinyrecurrentunet_tpu.signal.features import Featurizer, db_to_amp, denorm_db
 from tinyrecurrentunet_tpu.signal.phase import mod_phase
 
 
@@ -58,11 +58,11 @@ def denoised_spec_from_output(
     phase_mix = mod_phase(mix_ch["real_demod"], mix_ch["imag_demod"])
     phase_noise = mod_phase(noise_ch["real_demod"], noise_ch["imag_demod"])
 
-    mix_spec = featurizer.complex_spec(
-        mix_ch["logmag"], mix_ch["real_demod"], mix_ch["imag_demod"]
+    mix_mag = db_to_amp(
+        denorm_db(mix_ch["logmag"], cfg.min_level_db, cfg.ref_level_db)
     )
     mask = phase_aware_mask(phase_mix, phase_noise, beta)
-    denoised_mag = mask * jnp.abs(mix_spec)
+    denoised_mag = mask * mix_mag
     return jax.lax.complex(
         denoised_mag * jnp.cos(phase_mix), denoised_mag * jnp.sin(phase_mix)
     )

@@ -63,5 +63,14 @@ def demod_phase(phase: jax.Array, axis: int = -2):
 
 def mod_phase(real_demod: jax.Array, imag_demod: jax.Array) -> jax.Array:
     """Recover the wrapped phase angle from demodulated channels
-    (reference `dataset.py:194`)."""
-    return jnp.arctan2(real_demod, imag_demod)
+    (reference `dataset.py:194`).
+
+    Gradient-safe at (0, 0): arctan2's partials are NaN there, and network
+    outputs (unlike true sin/cos pairs) can be exactly zero — e.g. ReLU-dead
+    receptive fields behind a zero-init bias. Those points are remapped to
+    (0, 1) -> phase 0 with zero gradient; everywhere else this is exact.
+    """
+    both_zero = (real_demod == 0.0) & (imag_demod == 0.0)
+    safe_real = jnp.where(both_zero, 0.0, real_demod)
+    safe_imag = jnp.where(both_zero, 1.0, imag_demod)
+    return jnp.arctan2(safe_real, safe_imag)

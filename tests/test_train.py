@@ -1,0 +1,301 @@
+"""Training runtime tests: schedule parity with the reference math,
+checkpoint save/restore with max-selector, loss decrease over steps, and
+single-device vs 8-device-mesh DP equivalence (SURVEY.md §4)."""
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinyrecurrentunet_tpu.config import (
+    Config,
+    LogConfig,
+    LossConfig,
+    OptimizationConfig,
+    STFTLossConfig,
+    TrainConfig,
+    TrainsetConfig,
+)
+from tinyrecurrentunet_tpu.data import DataLoader, SyntheticPairDataset
+from tinyrecurrentunet_tpu.parallel.mesh import make_mesh, shard_batch
+from tinyrecurrentunet_tpu.train.checkpoint import CheckpointManager
+from tinyrecurrentunet_tpu.train.schedule import linear_warmup_cosine_decay
+from tinyrecurrentunet_tpu.train.state import create_train_state
+from tinyrecurrentunet_tpu.train.step import make_eval_step, make_train_step
+
+
+def small_config(**opt_kwargs) -> Config:
+    """A fast config: 16 kHz, short clips, light loss bank."""
+    return Config(
+        featurizer=dataclasses.replace(
+            Config().featurizer, sample_rate=16000
+        ),
+        train=TrainConfig(
+            log=LogConfig(iters_per_ckpt=5, iters_per_valid=2),
+            optimization=OptimizationConfig(
+                n_iters=100, learning_rate=4e-4, **opt_kwargs
+            ),
+            loss_config=LossConfig(
+                stft_config=STFTLossConfig(
+                    fft_sizes=(512,), hop_sizes=(120,), win_lengths=(240,)
+                )
+            ),
+        ),
+        trainset=TrainsetConfig(sample_rate=16000, crop_length_sec=0.5),
+    )
+
+
+class TestSchedule:
+    @staticmethod
+    def _reference_lr(k, lr_max, n_iter, divider=25, warmup=0.05):
+        """Literal reference math (util.py:81-156): k scheduler.step() calls."""
+        phase1 = int(n_iter * warmup)
+        phase2 = n_iter - phase1
+        lr_min = lr_max / divider
+        if k <= phase1:
+            return lr_min + (k / phase1) * (lr_max - lr_min)
+        n2 = k - phase1
+        cos_val = math.cos(math.pi * (n2 / phase2)) + 1
+        return (lr_min / 1e4) + (lr_max - lr_min / 1e4) / 2 * cos_val
+
+    def test_matches_reference_math(self):
+        lr_max, n_iter = 4e-4, 10000
+        sched = linear_warmup_cosine_decay(lr_max, n_iter)
+        for count in [0, 1, 100, 499, 500, 1000, 5000, 9999]:
+            ours = float(sched(count))
+            ref = self._reference_lr(count + 1, lr_max, n_iter)
+            np.testing.assert_allclose(ours, ref, rtol=1e-5, err_msg=f"count={count}")
+
+    def test_clamps_past_end(self):
+        sched = linear_warmup_cosine_decay(4e-4, 1000)
+        # the reference wraps around past n_iters (util.py:150-154 artifact);
+        # ours clamps at the terminal value
+        assert float(sched(2000)) == pytest.approx(float(sched(999)), rel=1e-4)
+
+    def test_resume_is_pure(self):
+        sched = linear_warmup_cosine_decay(4e-4, 1000)
+        assert float(sched(123)) == float(sched(123))
+
+
+class TestDataPipeline:
+    def test_synthetic_loader_shapes(self):
+        ds = SyntheticPairDataset(num_items=8, length_sec=0.5, sample_rate=16000)
+        loader = DataLoader(ds, batch_size=4, drop_last=True)
+        batches = list(loader)
+        assert len(batches) == 2
+        clean, noisy, ids = batches[0]
+        assert clean.shape == (4, 8000) and noisy.shape == (4, 8000)
+        assert len(ids) == 4
+
+    def test_sharding_partitions(self):
+        ds = SyntheticPairDataset(num_items=16, length_sec=0.1)
+        seen = []
+        for shard in range(4):
+            loader = DataLoader(
+                ds, batch_size=2, shuffle=False, num_shards=4, shard_index=shard
+            )
+            for _, _, ids in loader:
+                seen.extend(ids)
+        assert sorted(seen) == sorted(f"synthetic_{i}" for i in range(16))
+
+    def test_shuffle_same_permutation_across_shards(self):
+        ds = SyntheticPairDataset(num_items=12, length_sec=0.1)
+        all_ids = set()
+        for shard in range(3):
+            loader = DataLoader(
+                ds, batch_size=2, shuffle=True, seed=7, num_shards=3, shard_index=shard
+            )
+            for _, _, ids in loader:
+                all_ids.update(ids)
+        assert len(all_ids) == 12
+
+    def test_augment_bounds(self, rng):
+        from tinyrecurrentunet_tpu.data.augment import DataAugment
+
+        aug = DataAugment(sample_rate=16000)
+        x = rng.standard_normal(8000).astype(np.float32)
+        y = aug(x, rng)
+        assert y.shape == x.shape and np.all(np.isfinite(y))
+        # gain is negative: output energy below input energy
+        assert np.mean(y**2) < np.mean(x**2)
+
+    def test_biquad_frequency_response(self):
+        """Low-pass attenuates above cutoff; high-pass attenuates below."""
+        from tinyrecurrentunet_tpu.data.augment import highpass_biquad, lowpass_biquad
+
+        sr = 16000
+        t = np.arange(sr) / sr
+        low_tone = np.sin(2 * np.pi * 100 * t).astype(np.float32)
+        high_tone = np.sin(2 * np.pi * 6000 * t).astype(np.float32)
+        lp_high = lowpass_biquad(high_tone, sr, 1000.0)
+        lp_low = lowpass_biquad(low_tone, sr, 1000.0)
+        assert np.mean(lp_high**2) < 0.05 * np.mean(lp_low**2)
+        hp_low = highpass_biquad(low_tone, sr, 2000.0)
+        hp_high = highpass_biquad(high_tone, sr, 2000.0)
+        assert np.mean(hp_low**2) < 0.05 * np.mean(hp_high**2)
+
+    def test_wav_roundtrip(self, rng, tmp_path):
+        from tinyrecurrentunet_tpu.data import read_wav, write_wav
+
+        x = (rng.standard_normal(1000) * 0.1).astype(np.float32)
+        p = str(tmp_path / "x.wav")
+        write_wav(p, x, 16000)
+        y, sr = read_wav(p)
+        assert sr == 16000
+        np.testing.assert_allclose(y, x, atol=1e-4)
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        cfg = small_config()
+        ds = SyntheticPairDataset(num_items=4, length_sec=0.5, sample_rate=16000)
+        state = create_train_state(cfg)
+        step = make_train_step(cfg)
+        rng = np.random.default_rng(0)
+        clean, noisy, _ = ds.get(0, rng), ds.get(1, rng), None
+        clean_b = jnp.asarray(np.stack([clean[0], noisy[0]]))
+        noisy_b = jnp.asarray(np.stack([clean[1], noisy[1]]))
+        losses = []
+        for _ in range(12):
+            state, metrics = step(state, clean_b, noisy_b)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0], losses
+        assert all(np.isfinite(losses))
+
+    def test_eval_step(self):
+        cfg = small_config()
+        state = create_train_state(cfg)
+        estep = make_eval_step(cfg)
+        rng = np.random.default_rng(0)
+        ds = SyntheticPairDataset(num_items=2, length_sec=0.5, sample_rate=16000)
+        c, n, _ = ds.get(0, rng)
+        d = estep(state, jnp.asarray(c[None]), jnp.asarray(n[None]))
+        assert np.isfinite(float(d["loss"]))
+
+    def test_data_parallel_matches_single_device(self):
+        """The 8-device mesh step must compute the same loss and (globally)
+        the same gradients as the single-device step on the same global
+        batch — the correctness property the reference's gradient all-reduce
+        provided. Compared in global L2: per-leaf comparison is meaningless
+        for params whose exact gradient is zero (biases feeding BatchNorm),
+        where both backends produce reduction-order noise."""
+        from tinyrecurrentunet_tpu.losses import loss_fn
+        from tinyrecurrentunet_tpu.models import TRUNet
+        from tinyrecurrentunet_tpu.parallel.mesh import (
+            batch_sharding,
+            replicated_sharding,
+        )
+        from tinyrecurrentunet_tpu.signal import Featurizer
+
+        cfg = small_config(batch_size_per_device=1)
+        ds = SyntheticPairDataset(num_items=8, length_sec=0.5, sample_rate=16000)
+        rng = np.random.default_rng(0)
+        items = [ds.get(i, rng) for i in range(8)]
+        clean = np.stack([c for c, _, _ in items])
+        noisy = np.stack([n for _, n, _ in items])
+
+        state = create_train_state(cfg)
+        model = TRUNet(cfg.network)
+        fz = Featurizer(cfg.featurizer)
+
+        def gradf(params, batch_stats, c, n):
+            def inner(p):
+                loss, _, _ = loss_fn(
+                    model.apply, p, batch_stats, c, n, fz, cfg.network,
+                    cfg.train.loss_config, train=True,
+                )
+                return loss
+
+            return jax.value_and_grad(inner)(params)
+
+        loss_a, g_a = jax.jit(gradf)(
+            state.params, state.batch_stats, jnp.asarray(clean), jnp.asarray(noisy)
+        )
+
+        mesh = make_mesh(8)
+        repl, data = replicated_sharding(mesh), batch_sharding(mesh)
+        cs, ns = shard_batch(mesh, (clean, noisy))
+        loss_b, g_b = jax.jit(
+            gradf, in_shardings=(repl, repl, data, data), out_shardings=repl
+        )(state.params, state.batch_stats, cs, ns)
+
+        np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+        va = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(g_a)])
+        vb = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(g_b)])
+        rel = np.linalg.norm(va - vb) / np.linalg.norm(va)
+        # Tolerance: sharded reductions change fp32 summation order; BN
+        # train-mode stats amplify that through rsqrt(var+eps) on
+        # near-zero-variance channels (~1.4e-3 observed). Identical
+        # single-device runs are bit-equal (checked separately), so this
+        # bound is about reduction order, not nondeterminism.
+        assert rel < 5e-3, f"global grad relative L2 diff {rel}"
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        cfg = small_config()
+        state = create_train_state(cfg)
+        mgr = CheckpointManager(str(tmp_path), "TRUNet")
+        mgr.save(5, jax.device_get(state), training_time_seconds=42)
+        mgr.save(10, jax.device_get(state), training_time_seconds=99)
+
+        fresh = create_train_state(cfg)
+        restored, step, seconds = mgr.restore(fresh, "max")
+        assert step == 10 and seconds == 99
+        for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        _, step5, s5 = mgr.restore(fresh, 5)
+        assert step5 == 5 and s5 == 42
+        mgr.close()
+
+    def test_restore_missing_is_fresh_start(self, tmp_path):
+        cfg = small_config()
+        state = create_train_state(cfg)
+        mgr = CheckpointManager(str(tmp_path), "TRUNet")
+        restored, step, seconds = mgr.restore(state, "max")
+        assert step == -1 and seconds == 0
+        mgr.close()
+
+    def test_pretrained_npz(self, tmp_path):
+        from tinyrecurrentunet_tpu.train.checkpoint import (
+            load_pretrained_params,
+            save_pretrained_params,
+        )
+
+        cfg = small_config()
+        state = create_train_state(cfg)
+        save_pretrained_params(str(tmp_path), jax.device_get(state.params))
+        loaded = load_pretrained_params(str(tmp_path), state.params)
+        for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestTrainLoop:
+    def test_end_to_end_short_run(self, tmp_path):
+        """3-iteration training run through the real loop: metrics written,
+        checkpoint saved, resume works."""
+        import dataclasses as dc
+
+        from tinyrecurrentunet_tpu.train.loop import train
+
+        cfg = small_config()
+        cfg = dc.replace(
+            cfg,
+            train=dc.replace(
+                cfg.train,
+                log=LogConfig(
+                    directory=str(tmp_path), iters_per_ckpt=2, iters_per_valid=1
+                ),
+            ),
+        )
+        ds = SyntheticPairDataset(num_items=4, length_sec=0.5, sample_rate=16000)
+        state, metrics = train(cfg, dataset=ds, max_iters=3, log_dir=str(tmp_path / "logs"))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state.step) == 3
+        # resume continues from the saved step
+        state2, _ = train(cfg, dataset=ds, max_iters=5, log_dir=str(tmp_path / "logs"))
+        assert int(state2.step) == 5

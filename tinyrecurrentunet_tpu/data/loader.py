@@ -1,0 +1,88 @@
+"""Batching loader: shuffling, per-host sharding, background prefetch.
+
+Replaces the reference's torch DataLoader + DistributedSampler
+(reference `dataset.py:393-412`): each host reads only its own shard of the
+index space (the SPMD analog of DistributedSampler), batches on a
+background thread, and hands dense numpy arrays to the jitted step.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Tuple
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = False,
+        seed: int = 0,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(range(self.shard_index, len(self.dataset), self.num_shards))
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            # same permutation on every host, then shard (DistributedSampler
+            # semantics)
+            rng = np.random.default_rng((self.seed, self._epoch))
+            rng.shuffle(idx)
+        return idx[self.shard_index :: self.num_shards]
+
+    def _make_batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray, list]]:
+        rng = np.random.default_rng((self.seed, self._epoch, self.shard_index))
+        indices = self._epoch_indices()
+        for i in range(0, len(indices), self.batch_size):
+            chunk = indices[i : i + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            items = [self.dataset.get(int(j), rng) for j in chunk]
+            length = min(len(c) for c, _, _ in items)
+            clean = np.stack([c[:length] for c, _, _ in items])
+            noisy = np.stack([n[:length] for _, n, _ in items])
+            ids = [fid for _, _, fid in items]
+            yield clean, noisy, ids
+
+    def __iter__(self):
+        """Background-thread prefetch iterator; one pass over the epoch."""
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch in self._make_batches():
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        self._epoch += 1

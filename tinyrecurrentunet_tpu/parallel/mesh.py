@@ -1,0 +1,54 @@
+"""Device mesh and sharding helpers.
+
+Design (SURVEY.md §2.3): the model is ~380k params, so data parallelism is
+the production strategy — params replicated, batch sharded over the `data`
+axis, gradient reduction compiler-inserted over ICI (multi-host: over DCN
+after `jax.distributed.initialize`). Tensor/pipeline parallelism are not
+needed at this scale; the mesh API below still accepts extra axes so larger
+variants can shard (see dryrun_multichip in __graft_entry__.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tinyrecurrentunet_tpu.config import DistConfig
+
+
+def initialize_distributed(cfg: DistConfig) -> None:
+    """Multi-host bring-up: one process per host, DCN-coordinated.
+
+    Replaces the reference's per-GPU Popen launcher + NCCL TCP rendezvous
+    (reference `distributed.py:48-58,150-176`).
+    """
+    if cfg.num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=cfg.coordinator_address,
+            num_processes=cfg.num_processes,
+            process_id=cfg.process_id,
+        )
+
+
+def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first `num_devices` devices."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Place a host-local batch pytree onto the mesh, sharded on dim 0."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

@@ -1,0 +1,118 @@
+"""Checkpoint save/restore via Orbax.
+
+Reference contract (reference `train.py:155-161`, `util.py:30-49`,
+`denoise.py:58-66`): checkpoints live under <directory>/<exp_path>/checkpoint,
+saved every iters_per_ckpt with {iter, model state, optimizer state,
+training_time_seconds}; consumers select 'max' (latest), an explicit
+iteration, or 'pretrained'. Restore rebuilds the LR schedule implicitly —
+our schedule is a pure function of the step counter stored in the state.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from tinyrecurrentunet_tpu.train.state import TrainState
+
+
+def checkpoint_dir(log_directory: str, exp_path: str) -> str:
+    return os.path.join(os.path.abspath(log_directory), exp_path, "checkpoint")
+
+
+def find_max_iter(directory: str) -> int:
+    """Latest checkpoint step in `directory`, -1 if none
+    (reference `util.py:30-49` semantics)."""
+    if not os.path.isdir(directory):
+        return -1
+    best = -1
+    for name in os.listdir(directory):
+        try:
+            best = max(best, int(name))
+        except ValueError:
+            continue
+    return best
+
+
+class CheckpointManager:
+    """Thin Orbax wrapper with the reference's selector semantics."""
+
+    def __init__(self, log_directory: str, exp_path: str, max_to_keep: int | None = None):
+        self.directory = checkpoint_dir(log_directory, exp_path)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state: TrainState, training_time_seconds: int = 0):
+        payload = {
+            "state": state,
+            "meta": {"iter": step, "training_time_seconds": training_time_seconds},
+        }
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+
+    def resolve_step(self, selector: str | int) -> int:
+        """'max' -> latest step (-1 if none); int/int-string -> that step."""
+        if selector == "max":
+            latest = self._mgr.latest_step()
+            return -1 if latest is None else latest
+        return int(selector)
+
+    def restore(self, target_state: TrainState, selector: str | int = "max"):
+        """Restore into the structure of `target_state`.
+
+        Returns (state, step, training_time_seconds) or (target_state, -1, 0)
+        when there is nothing to restore (fresh start, reference
+        `train.py:77-95` fallback).
+        """
+        step = self.resolve_step(selector)
+        if step < 0 or step not in self._mgr.all_steps():
+            return target_state, -1, 0
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target_state)
+        payload = self._mgr.restore(
+            step,
+            args=ocp.args.StandardRestore(
+                {"state": abstract, "meta": {"iter": 0, "training_time_seconds": 0}}
+            ),
+        )
+        meta = payload["meta"]
+        return payload["state"], int(meta["iter"]), int(meta["training_time_seconds"])
+
+    def all_steps(self):
+        return sorted(self._mgr.all_steps())
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_pretrained_params(directory: str, params: Any):
+    """Standalone params-only export (the reference's 'pretrained' selector,
+    `denoise.py:63-65`) as an npz of flattened leaves."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    arrays = {
+        "/".join(str(k) for k in path): np.asarray(v) for path, v in flat
+    }
+    os.makedirs(directory, exist_ok=True)
+    np.savez(os.path.join(directory, "pretrained.npz"), **arrays)
+
+
+def load_pretrained_params(directory: str, target_params: Any):
+    """Load a params-only npz back into `target_params`' structure."""
+    data = np.load(os.path.join(directory, "pretrained.npz"))
+    flat, treedef = jax.tree_util.tree_flatten_with_path(target_params)
+    leaves = []
+    for path, v in flat:
+        key = "/".join(str(k) for k in path)
+        arr = data[key]
+        if arr.shape != v.shape:
+            raise ValueError(f"shape mismatch for {key}: {arr.shape} vs {v.shape}")
+        leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -1,0 +1,163 @@
+"""The training loop + CLI.
+
+Call-stack parity with the reference (SURVEY.md §3.1) in one process per
+host: config -> data loader (host-sharded) -> model/optimizer state ->
+checkpoint resume ('max' selector) -> pjit train step over the data mesh ->
+metrics + checkpoint cadence (reference `train.py:24-209`). The per-GPU
+process launcher, NCCL init, broadcast, and gradient hooks
+(`distributed.py`) have no equivalent here — the mesh-sharded jit step
+subsumes them.
+
+Usage:
+    python -m tinyrecurrentunet_tpu.train.loop -c config/tiny16k.json \
+        [--max_iters N] [--synthetic]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from tinyrecurrentunet_tpu.config import Config, load_config
+from tinyrecurrentunet_tpu.data import CleanNoisyPairDataset, DataLoader, SyntheticPairDataset
+from tinyrecurrentunet_tpu.models import TRUNet
+from tinyrecurrentunet_tpu.parallel.mesh import initialize_distributed, make_mesh, shard_batch
+from tinyrecurrentunet_tpu.train.checkpoint import CheckpointManager
+from tinyrecurrentunet_tpu.train.state import create_train_state
+from tinyrecurrentunet_tpu.train.step import current_learning_rate, make_train_step
+from tinyrecurrentunet_tpu.utils.metrics import MetricsWriter
+from tinyrecurrentunet_tpu.utils.params import print_size
+
+
+def train(
+    cfg: Config,
+    dataset=None,
+    max_iters: int | None = None,
+    mesh=None,
+    log_dir: str | None = None,
+):
+    """Run training; returns (final_state, last_metrics).
+
+    Args:
+      dataset: any object with __len__ and get(i, rng) -> (clean, noisy, id);
+        defaults to CleanNoisyPairDataset(cfg.trainset).
+      max_iters: stop early (defaults to cfg.train.optimization.n_iters).
+      mesh: jax Mesh for SPMD data parallelism (None = single device).
+    """
+    initialize_distributed(cfg.dist)
+    opt = cfg.train.optimization
+    log = cfg.train.log
+    n_iters = min(opt.n_iters, max_iters or opt.n_iters)
+
+    if dataset is None:
+        dataset = CleanNoisyPairDataset(cfg.trainset, subset="training")
+    num_devices = 1 if mesh is None else mesh.devices.size
+    batch_size = opt.batch_size_per_device * num_devices
+    loader = DataLoader(
+        dataset,
+        batch_size=batch_size,
+        shuffle=True,
+        drop_last=True,
+        num_shards=jax.process_count(),
+        shard_index=jax.process_index(),
+    )
+
+    model = TRUNet(cfg.network)
+    state = create_train_state(cfg, jax.random.PRNGKey(0), model)
+    if jax.process_index() == 0:
+        print_size(state.params, "TRUNet")
+
+    ckpt = CheckpointManager(log.directory, cfg.train.exp_path)
+    state, resume_iter, prev_seconds = ckpt.restore(state, log.ckpt_iter)
+    if resume_iter >= 0:
+        print(f"resumed from checkpoint at iteration {resume_iter}")
+    n_iter = resume_iter + 1
+
+    writer = MetricsWriter(log_dir or f"{log.directory}/{cfg.train.exp_path}/logs")
+    step_fn = make_train_step(cfg, model, mesh)
+    time0 = time.time() - prev_seconds
+
+    metrics = {}
+    while n_iter < n_iters:
+        for clean, noisy, _ in loader:
+            if n_iter >= n_iters:
+                break
+            clean = clean.astype(np.float32)
+            noisy = noisy.astype(np.float32)
+            if mesh is not None:
+                clean, noisy = shard_batch(mesh, (clean, noisy))
+            state, metrics = step_fn(state, clean, noisy)
+
+            if n_iter % log.iters_per_valid == 0:
+                metrics = jax.device_get(metrics)
+                lr = current_learning_rate(cfg, n_iter)
+                print(
+                    f"iteration: {n_iter} \tloss: {float(metrics['loss']):.7f} "
+                    f"\tgrad_norm: {float(metrics['grad_norm']):.4f} \tlr: {lr:.3e}",
+                    flush=True,
+                )
+                if jax.process_index() == 0:
+                    writer.scalars(
+                        n_iter,
+                        {
+                            "Train/Train-Loss": metrics["loss"],
+                            "Train/Train-Reduced-Loss": metrics["loss"],
+                            "Train/Gradient-Norm": metrics["grad_norm"],
+                            "Train/learning-rate": lr,
+                            **{
+                                f"Train/loss-{k}": v
+                                for k, v in metrics.items()
+                                if k not in ("loss", "grad_norm")
+                            },
+                        },
+                    )
+
+            if (
+                n_iter > 0
+                and n_iter % log.iters_per_ckpt == 0
+                and jax.process_index() == 0
+            ):
+                ckpt.save(n_iter, jax.device_get(state), int(time.time() - time0))
+                print(f"model at iteration {n_iter} is saved")
+            n_iter += 1
+
+    if jax.process_index() == 0 and metrics:
+        ckpt.save(
+            min(n_iter - 1, n_iters), jax.device_get(state), int(time.time() - time0)
+        )
+    writer.close()
+    ckpt.close()
+    return state, metrics
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", required=True, help="JSON config path")
+    parser.add_argument("--max_iters", type=int, default=None)
+    parser.add_argument(
+        "--synthetic", action="store_true", help="train on the synthetic dataset"
+    )
+    parser.add_argument(
+        "--data_parallel",
+        action="store_true",
+        help="use all local devices via a data mesh",
+    )
+    args = parser.parse_args()
+
+    cfg = load_config(args.config)
+    dataset = None
+    if args.synthetic:
+        dataset = SyntheticPairDataset(
+            num_items=256,
+            length_sec=cfg.trainset.crop_length_sec,
+            sample_rate=cfg.trainset.sample_rate,
+        )
+    mesh = make_mesh() if args.data_parallel else None
+    train(cfg, dataset=dataset, max_iters=args.max_iters, mesh=mesh)
+
+
+if __name__ == "__main__":
+    main()

@@ -41,18 +41,30 @@ def conv_transpose1d(
     stride: int,
     padding: int,
 ) -> jax.Array:
-    """Transposed conv with torch length semantics via input dilation.
+    """Transposed conv with torch length semantics.
 
     x (B, L, Cin), w (k, Cin, Cout) -> (B, (L-1)*stride - 2*padding + k, Cout).
+
+    Implemented as explicit zero-insertion upsampling + a stride-1 conv
+    rather than `lhs_dilation`: identical math and FLOPs (XLA lowers input
+    dilation the same way), but this form legalizes everywhere — TFLite
+    rejects `mhlo.convolution` with lhs_dilation while converting the
+    zero-stuffed graph cleanly (see export/).
     """
     k = w.shape[0]
+    if stride > 1:
+        b, length, c = x.shape
+        z = jnp.zeros((b, length, stride - 1, c), x.dtype)
+        x = jnp.concatenate([x[:, :, None, :], z], axis=2).reshape(
+            b, length * stride, c
+        )
+        x = x[:, : (length - 1) * stride + 1]
     pad = k - 1 - padding
     return jax.lax.conv_general_dilated(
         x,
         w,
         window_strides=(1,),
         padding=[(pad, pad)],
-        lhs_dilation=(stride,),
         dimension_numbers=_DIMS,
     )
 

@@ -1,0 +1,82 @@
+"""Pallas GRU kernel parity tests (interpret mode on CPU; the same kernel
+compiles natively on TPU — benchmarked in bench.py / rt_bench)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinyrecurrentunet_tpu.ops.gru import gru_scan
+from tinyrecurrentunet_tpu.ops.pallas_gru import gru_scan_pallas
+
+
+def _params(rng, d, h):
+    return [
+        jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.3)
+        for s in [(d, 3 * h), (h, 3 * h), (3 * h,), (3 * h,)]
+    ]
+
+
+class TestPallasGRU:
+    @pytest.mark.parametrize("batch,length,d,h,chunk", [
+        (16, 100, 64, 128, 32),   # TGRU regime
+        (16, 64, 64, 128, 64),    # exact multiple
+        (8, 7, 16, 32, 64),       # shorter than one chunk
+    ])
+    def test_matches_lax_scan(self, rng, batch, length, d, h, chunk):
+        x = jnp.asarray(rng.standard_normal((batch, length, d)).astype(np.float32))
+        params = _params(rng, d, h)
+        h0 = jnp.asarray(rng.standard_normal((batch, h)).astype(np.float32) * 0.1)
+        ref_out, ref_h = gru_scan(x, h0, *params)
+        out, hT = gru_scan_pallas(x, h0, *params, interpret=True, chunk=chunk)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(hT), np.asarray(ref_h), rtol=1e-4, atol=1e-5)
+
+    def test_reverse_matches(self, rng):
+        x = jnp.asarray(rng.standard_normal((4, 33, 16)).astype(np.float32))
+        params = _params(rng, 16, 32)
+        h0 = jnp.zeros((4, 32))
+        ref_out, ref_h = gru_scan(x, h0, *params, reverse=True)
+        out, hT = gru_scan_pallas(x, h0, *params, reverse=True, interpret=True, chunk=16)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(hT), np.asarray(ref_h), rtol=1e-4, atol=1e-5)
+
+
+class TestModelWithPallas:
+    def test_trunet_pallas_inference_matches(self, rng):
+        """Full model with the Pallas recurrence (interpret) == lax.scan."""
+        from tinyrecurrentunet_tpu.config import NetworkConfig
+        from tinyrecurrentunet_tpu.models import TRUNet
+
+        cfg_ref = NetworkConfig(use_pallas_gru="never")
+        cfg_pl = dataclasses.replace(cfg_ref, use_pallas_gru="always")
+        x = jnp.asarray(rng.standard_normal((6, 257, 4)).astype(np.float32))
+        model_ref = TRUNet(cfg_ref)
+        variables = model_ref.init(jax.random.PRNGKey(0), x)
+        y_ref, h_ref = model_ref.apply(variables, x)
+        y_pl, h_pl = TRUNet(cfg_pl).apply(variables, x)
+        np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h_pl), np.asarray(h_ref), rtol=1e-4, atol=1e-5)
+
+    def test_training_path_stays_differentiable(self, rng):
+        """train=True must keep the lax.scan path (Pallas has no VJP)."""
+        from tinyrecurrentunet_tpu.config import NetworkConfig
+        from tinyrecurrentunet_tpu.models import TRUNet
+
+        model = TRUNet(NetworkConfig(use_pallas_gru="always"))
+        x = jnp.asarray(rng.standard_normal((4, 257, 4)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), x)
+
+        def loss(params):
+            (y, _), _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return jnp.mean(y * y)
+
+        g = jax.grad(loss)(variables["params"])
+        assert all(np.all(np.isfinite(np.asarray(v))) for v in jax.tree.leaves(g))

@@ -103,6 +103,11 @@ class NetworkConfig:
     phm_beta: float = 0.5
     # Compute dtype for the forward pass ("float32" or "bfloat16").
     compute_dtype: str = "float32"
+    # Pallas GRU recurrence kernel for the inference path (ops/pallas_gru.py):
+    # "auto" = on TPU backends, "always" (interpreted off-TPU; for tests),
+    # "never". Training always uses the lax.scan path (the Pallas kernel has
+    # no backward yet).
+    use_pallas_gru: str = "auto"
 
     def __post_init__(self):
         object.__setattr__(self, "encoder", _freeze(tuple(map(tuple, self.encoder))))

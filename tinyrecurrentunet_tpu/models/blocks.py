@@ -108,18 +108,38 @@ class GRU(nn.Module):
         bh = self.param(f"bh_{name}", init, (3 * self.hidden,), jnp.float32)
         return tuple(p.astype(self.dtype) for p in (wi, wh, bi, bh))
 
+    use_pallas: str = "never"  # "auto" | "always" | "never"
+
+    def _scan(self, x, h0, params, reverse=False):
+        # The Pallas kernel wins by keeping the carry in VMEM across steps
+        # (~2x on the 751-step TGRU); for very short scans (the single-frame
+        # streaming step) it only adds compile time, so fall through.
+        long_enough = x.shape[1] >= 8
+        if self.use_pallas == "always" or (
+            self.use_pallas == "auto"
+            and long_enough
+            and jax.default_backend() == "tpu"
+        ):
+            from tinyrecurrentunet_tpu.ops.pallas_gru import gru_scan_pallas
+
+            interpret = jax.default_backend() != "tpu"
+            return gru_scan_pallas(
+                x, h0, *params, reverse=reverse, interpret=interpret
+            )
+        return gru_ops.gru_scan(x, h0, *params, reverse=reverse)
+
     @nn.compact
     def __call__(self, x, h0=None):
         batch = x.shape[0]
         if h0 is None:
             h0 = jnp.zeros((batch, self.hidden), self.dtype)
-        wi, wh, bi, bh = self._direction_params("fwd", x.shape[-1])
-        out_f, h_f = gru_ops.gru_scan(x, h0, wi, wh, bi, bh)
+        params_f = self._direction_params("fwd", x.shape[-1])
+        out_f, h_f = self._scan(x, h0, params_f)
         if not self.bidirectional:
             return out_f, h_f
-        wi_b, wh_b, bi_b, bh_b = self._direction_params("bwd", x.shape[-1])
+        params_b = self._direction_params("bwd", x.shape[-1])
         h0_b = jnp.zeros((batch, self.hidden), self.dtype)
-        out_b, _ = gru_ops.gru_scan(x, h0_b, wi_b, wh_b, bi_b, bh_b, reverse=True)
+        out_b, _ = self._scan(x, h0_b, params_b, reverse=True)
         return jnp.concatenate([out_f, out_b], axis=-1), h_f
 
 
@@ -130,11 +150,18 @@ class GRUBlock(nn.Module):
     out_features: int
     bidirectional: bool = False
     dtype: Dtype = jnp.float32
+    use_pallas_gru: str = "auto"
 
     @nn.compact
     def __call__(self, x, h0=None, train: bool = False):
+        # The Pallas recurrence kernel has no backward pass yet; training
+        # (and anything that may be differentiated) takes the lax.scan path.
+        use_pallas = "never" if train else self.use_pallas_gru
         out, h_final = GRU(
-            self.hidden, bidirectional=self.bidirectional, dtype=self.dtype
+            self.hidden,
+            bidirectional=self.bidirectional,
+            dtype=self.dtype,
+            use_pallas=use_pallas,
         )(x, h0)
         out = nn.Dense(self.out_features, dtype=self.dtype)(out)
         out = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(out)

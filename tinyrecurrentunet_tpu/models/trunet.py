@@ -82,7 +82,11 @@ class TRUNet(nn.Module):
         # (batch = B*T frames -> large MXU batches), then TGRU over time.
         fb = z.shape[1]
         z, _ = GRUBlock(
-            cfg.fgru_hidden, cfg.fgru_out, bidirectional=True, dtype=dtype
+            cfg.fgru_hidden,
+            cfg.fgru_out,
+            bidirectional=True,
+            dtype=dtype,
+            use_pallas_gru=cfg.use_pallas_gru,
         )(z, train=train)
 
         # TGRU: (B*T, Fb, C) -> (B*Fb, T, C), scan over time with carry.
@@ -92,9 +96,12 @@ class TRUNet(nn.Module):
             h0 = tgru_h0.astype(dtype).reshape(batch * fb, cfg.tgru_hidden)
         else:
             h0 = None
-        z, h_final = GRUBlock(cfg.tgru_hidden, cfg.tgru_out, dtype=dtype)(
-            z, h0=h0, train=train
-        )
+        z, h_final = GRUBlock(
+            cfg.tgru_hidden,
+            cfg.tgru_out,
+            dtype=dtype,
+            use_pallas_gru=cfg.use_pallas_gru,
+        )(z, h0=h0, train=train)
         tgru_h = h_final.reshape(batch, fb, cfg.tgru_hidden)
         z = z.reshape(batch, fb, time, cfg.tgru_out)
         z = z.transpose(0, 2, 1, 3).reshape(batch * time, fb, cfg.tgru_out)

@@ -234,6 +234,26 @@ class TestTrainStep:
         assert rel < 5e-3, f"global grad relative L2 diff {rel}"
 
 
+class TestDeterminism:
+    def test_same_seed_same_params(self):
+        """Two runs with the same PRNG seeds produce bit-identical params —
+        the SPMD-world replacement for the reference's by-convention
+        ordering of gradient hooks (SURVEY.md §5 race-detection note)."""
+        cfg = small_config()
+        ds = SyntheticPairDataset(num_items=4, length_sec=0.5, sample_rate=16000)
+        results = []
+        for _ in range(2):
+            state = create_train_state(cfg)
+            step = make_train_step(cfg)
+            rng = np.random.default_rng(7)
+            for i in range(3):
+                c, n, _ = ds.get(i % 4, rng)
+                state, _ = step(state, jnp.asarray(c[None]), jnp.asarray(n[None]))
+            results.append(jax.device_get(state.params))
+        for a, b in zip(jax.tree.leaves(results[0]), jax.tree.leaves(results[1])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, tmp_path):
         cfg = small_config()

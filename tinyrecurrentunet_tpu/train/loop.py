@@ -38,6 +38,7 @@ def train(
     max_iters: int | None = None,
     mesh=None,
     log_dir: str | None = None,
+    profile_dir: str | None = None,
 ):
     """Run training; returns (final_state, last_metrics).
 
@@ -89,7 +90,14 @@ def train(
             noisy = noisy.astype(np.float32)
             if mesh is not None:
                 clean, noisy = shard_batch(mesh, (clean, noisy))
+            # Profile a short post-warmup window (steps 10-12) when asked.
+            if profile_dir is not None and n_iter == 10:
+                jax.profiler.start_trace(profile_dir)
             state, metrics = step_fn(state, clean, noisy)
+            if profile_dir is not None and n_iter == 12:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {profile_dir}")
 
             if n_iter % log.iters_per_valid == 0:
                 metrics = jax.device_get(metrics)
@@ -145,6 +153,12 @@ def main():
         action="store_true",
         help="use all local devices via a data mesh",
     )
+    parser.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture an XLA profiler trace of train steps 10-12 into DIR",
+    )
     args = parser.parse_args()
 
     cfg = load_config(args.config)
@@ -156,7 +170,13 @@ def main():
             sample_rate=cfg.trainset.sample_rate,
         )
     mesh = make_mesh() if args.data_parallel else None
-    train(cfg, dataset=dataset, max_iters=args.max_iters, mesh=mesh)
+    train(
+        cfg,
+        dataset=dataset,
+        max_iters=args.max_iters,
+        mesh=mesh,
+        profile_dir=args.profile,
+    )
 
 
 if __name__ == "__main__":

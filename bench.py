@@ -75,10 +75,12 @@ def main():
 
     # ---- offline: the whole 2 s pipeline in one device call
     def offline(variables, audio):
-        feats = featurizer(audio)
+        spec = featurizer.spectrogram(audio)
+        feats = featurizer.features_from_spec(spec)
         output, _ = model.apply(variables, feats)
         return denoise_output_to_audio(
-            output, featurizer, cfg.network, length=audio.shape[-1]
+            output, featurizer, cfg.network, length=audio.shape[-1],
+            mixture_spec=spec,
         )
 
     offline_jit = jax.jit(offline)

@@ -42,10 +42,12 @@ class TestStreaming:
         cfg, model, fz, variables, audio = setup16k
         hop = cfg.featurizer.hop_length
 
-        feats = fz(jnp.asarray(audio))
-        output, _ = model.apply(variables, feats)
+        spec_full = fz.spectrogram(jnp.asarray(audio))
+        output, _ = model.apply(variables, fz.features_from_spec(spec_full))
         offline = np.asarray(
-            denoise_output_to_audio(output, fz, cfg.network, length=len(audio))
+            denoise_output_to_audio(
+                output, fz, cfg.network, length=len(audio), mixture_spec=spec_full
+            )
         )
 
         spec = fz.spectrogram(jnp.asarray(audio))  # (T, F) offline frames
@@ -71,10 +73,12 @@ class TestStreaming:
         cfg, model, fz, variables, audio = setup16k
         hop = cfg.featurizer.hop_length
 
-        feats = fz(jnp.asarray(audio))
-        output, _ = model.apply(variables, feats)
+        spec_full = fz.spectrogram(jnp.asarray(audio))
+        output, _ = model.apply(variables, fz.features_from_spec(spec_full))
         offline = np.asarray(
-            denoise_output_to_audio(output, fz, cfg.network, length=len(audio))
+            denoise_output_to_audio(
+                output, fz, cfg.network, length=len(audio), mixture_spec=spec_full
+            )
         )
 
         sd = StreamingDenoiser(cfg, variables)

@@ -204,22 +204,47 @@ class TestPHM:
 
     def test_head_end_to_end(self, rng):
         """net output -> PHM -> iSTFT produces a finite waveform of the
-        right length, differentiably."""
+        right length, differentiably (both phm sources)."""
         fz = Featurizer(FeaturizerConfig())
-        ncfg = NetworkConfig()
         out = jnp.asarray(rng.standard_normal((10, 257, 8)).astype(np.float32) * 0.1)
+        mix_spec = fz.spectrogram(
+            jnp.asarray(rng.standard_normal(9 * 128).astype(np.float32) * 0.1)
+        )
+        for source in ("mixture", "network"):
+            ncfg = NetworkConfig(phm_source=source)
 
-        def f(o):
-            return jnp.sum(jnp.abs(denoise_output_to_audio(o, fz, ncfg)))
+            def f(o):
+                return jnp.sum(
+                    jnp.abs(
+                        denoise_output_to_audio(o, fz, ncfg, mixture_spec=mix_spec)
+                    )
+                )
 
-        audio = denoise_output_to_audio(out, fz, ncfg)
-        assert audio.shape == (9 * 128,)
-        g = jax.grad(f)(out)
-        assert np.all(np.isfinite(np.asarray(g)))
+            audio = denoise_output_to_audio(out, fz, ncfg, mixture_spec=mix_spec)
+            assert audio.shape == (9 * 128,)
+            g = jax.grad(f)(out)
+            assert np.all(np.isfinite(np.asarray(g))), source
 
     def test_spec_shape(self, rng):
         fz = Featurizer(FeaturizerConfig())
         out = jnp.asarray(rng.standard_normal((4, 257, 8)).astype(np.float32))
-        spec = denoised_spec_from_output(out, fz)
+        spec = denoised_spec_from_output(out, fz, source="network")
         assert spec.shape == (4, 257)
         assert spec.dtype == jnp.complex64
+
+    def test_mixture_source_passes_observed_phase(self, rng):
+        """With a fully-open mask (identical phase estimates -> mask 0.5),
+        the mixture-source output is 0.5 * the observed spec."""
+        fz = Featurizer(FeaturizerConfig())
+        out = np.zeros((4, 257, 8), np.float32)
+        out[..., 2] = out[..., 6] = 0.3  # identical real_demod for both sets
+        out[..., 3] = out[..., 7] = 0.7  # identical imag_demod
+        mix_spec = fz.spectrogram(
+            jnp.asarray(rng.standard_normal(3 * 128).astype(np.float32) * 0.1)
+        )
+        spec = denoised_spec_from_output(
+            jnp.asarray(out), fz, mixture_spec=mix_spec, source="mixture"
+        )
+        np.testing.assert_allclose(
+            np.asarray(spec), 0.5 * np.asarray(mix_spec), rtol=1e-5, atol=1e-7
+        )

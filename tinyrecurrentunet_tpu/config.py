@@ -101,6 +101,16 @@ class NetworkConfig:
     )
     # Phase-aware mask sharpness (reference `phm.py:10`).
     phm_beta: float = 0.5
+    # What the PHM mask multiplies (reference `phm.py:31-45`):
+    # "mixture": the OBSERVED noisy spectrogram's magnitude+phase (the
+    #   docstring's reading — "Mixture: spectrogram containing speech and
+    #   noise"); the network contributes the mixture/noise phase estimates
+    #   that shape the mask. Standard masking-based enhancement; converges
+    #   fast because the reconstruction reuses the observed phase.
+    # "network": magnitude+phase decoded from the network's own mixture
+    #   feature set (the reading of the unfinished `util.py:221-234`);
+    #   requires the net to learn full phase reconstruction.
+    phm_source: str = "mixture"
     # Compute dtype for the forward pass ("float32" or "bfloat16").
     compute_dtype: str = "float32"
     # Pallas GRU recurrence kernel for the inference path (ops/pallas_gru.py):

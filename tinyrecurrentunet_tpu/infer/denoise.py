@@ -38,10 +38,15 @@ class Denoiser:
         self.variables = variables
 
         def run(variables, audio):
-            feats = self.featurizer(audio)
+            spec = self.featurizer.spectrogram(audio)
+            feats = self.featurizer.features_from_spec(spec)
             output, _ = self.model.apply(variables, feats)
             return denoise_output_to_audio(
-                output, self.featurizer, cfg.network, length=audio.shape[-1]
+                output,
+                self.featurizer,
+                cfg.network,
+                length=audio.shape[-1],
+                mixture_spec=spec,
             )
 
         self._run = jax.jit(run)

@@ -63,7 +63,11 @@ class StreamingDenoiser:
                 variables, feats_t[None, None], state.tgru_h
             )  # (1, 1, F, 2C)
             spec_out = denoised_spec_from_output(
-                output[0, 0], featurizer, cfg.network.phm_beta
+                output[0, 0],
+                featurizer,
+                cfg.network.phm_beta,
+                mixture_spec=spec_t,
+                source=cfg.network.phm_source,
             )
             frame = jnp.fft.irfft(spec_out, n=self.n_fft)
 

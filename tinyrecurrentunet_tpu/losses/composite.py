@@ -48,7 +48,8 @@ def loss_fn(
       per-term output dict (reference `util.py:243-250`).
     """
     variables = {"params": params, "batch_stats": batch_stats}
-    noisy_feat = featurizer(noisy_audio)
+    noisy_spec = featurizer.spectrogram(noisy_audio)
+    noisy_feat = featurizer.features_from_spec(noisy_spec)
 
     if train:
         (output, _), updates = apply_fn(
@@ -60,7 +61,11 @@ def loss_fn(
         new_batch_stats = batch_stats
 
     denoised = denoise_output_to_audio(
-        output, featurizer, network_config, length=clean_audio.shape[-1]
+        output,
+        featurizer,
+        network_config,
+        length=clean_audio.shape[-1],
+        mixture_spec=noisy_spec,
     )
 
     loss_dict = {}

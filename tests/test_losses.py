@@ -110,7 +110,7 @@ class TestCompositeLoss:
         @jax.jit
         def step(params, batch_stats, clean, noisy):
             def inner(p):
-                loss, d, bs = loss_fn(
+                loss, d, bs, _ = loss_fn(
                     model.apply, p, batch_stats, clean, noisy, fz, ncfg, lcfg
                 )
                 return loss, (d, bs)
@@ -129,7 +129,7 @@ class TestCompositeLoss:
 
     def test_batched(self, rng):
         fz, ncfg, model, variables, clean, noisy = self._setup(rng, batch=2)
-        loss, d, bs = loss_fn(
+        loss, d, bs, _ = loss_fn(
             model.apply,
             variables["params"],
             variables["batch_stats"],
@@ -143,7 +143,7 @@ class TestCompositeLoss:
 
     def test_eval_mode_does_not_mutate_stats(self, rng):
         fz, ncfg, model, variables, clean, noisy = self._setup(rng)
-        _, _, bs = loss_fn(
+        _, _, bs, _ = loss_fn(
             model.apply,
             variables["params"],
             variables["batch_stats"],

@@ -203,7 +203,7 @@ class TestTrainStep:
 
         def gradf(params, batch_stats, c, n):
             def inner(p):
-                loss, _, _ = loss_fn(
+                loss, _, _, _ = loss_fn(
                     model.apply, p, batch_stats, c, n, fz, cfg.network,
                     cfg.train.loss_config, train=True,
                 )
@@ -232,6 +232,55 @@ class TestTrainStep:
         # single-device runs are bit-equal (checked separately), so this
         # bound is about reduction order, not nondeterminism.
         assert rel < 5e-3, f"global grad relative L2 diff {rel}"
+
+
+class TestTBPTT:
+    def test_carry_step_runs_and_carry_flows(self):
+        from tinyrecurrentunet_tpu.models import TRUNet
+
+        cfg = small_config()
+        model = TRUNet(cfg.network)
+        ds = SyntheticPairDataset(num_items=2, length_sec=0.5, sample_rate=16000)
+        rng = np.random.default_rng(0)
+        c, n, _ = ds.get(0, rng)
+        state = create_train_state(cfg)
+        step = make_train_step(cfg, with_carry=True)
+        h = model.init_tgru_state(1, cfg.featurizer.num_freqs)
+        seg = 4096
+        losses = []
+        carries = []
+        for s in range(2):
+            sl = slice(s * seg, (s + 1) * seg)
+            state, metrics, h = step(
+                state, jnp.asarray(c[None, sl]), jnp.asarray(n[None, sl]), h
+            )
+            losses.append(float(metrics["loss"]))
+            carries.append(np.asarray(h))
+        assert all(np.isfinite(losses))
+        assert not np.allclose(carries[0], carries[1])
+        assert np.any(carries[0] != 0)  # the first segment produced a carry
+
+    def test_loop_with_tbptt(self, tmp_path):
+        import dataclasses as dc
+
+        from tinyrecurrentunet_tpu.train.loop import train
+
+        cfg = small_config(tbptt_segment_sec=0.25)
+        cfg = dc.replace(
+            cfg,
+            train=dc.replace(
+                cfg.train,
+                log=LogConfig(
+                    directory=str(tmp_path), iters_per_ckpt=100, iters_per_valid=1
+                ),
+            ),
+        )
+        ds = SyntheticPairDataset(num_items=2, length_sec=0.5, sample_rate=16000)
+        state, metrics = train(cfg, dataset=ds, max_iters=2, log_dir=str(tmp_path / "l"))
+        assert np.isfinite(float(metrics["loss"]))
+        # 2 loader batches * 2 segments each = 4 optimizer updates... the
+        # loop counts batches; each batch ran 2 segment updates.
+        assert int(state.step) >= 2
 
 
 class TestDeterminism:

@@ -182,6 +182,11 @@ class OptimizationConfig:
     warmup_proportion: float = 0.05
     lr_divider: float = 25.0
     weight_decay: float = 1e-2  # torch AdamW default
+    # TBPTT: split each training clip into segments of this many seconds and
+    # carry the TGRU hidden state across them (gradients truncate at the
+    # boundary). 0 disables (whole-clip BPTT, the reference regime). This is
+    # the long-context strategy for clips beyond the 2 s crop (SURVEY.md §5).
+    tbptt_segment_sec: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -79,15 +79,29 @@ class Denoiser:
         return denoiser
 
     def __call__(self, audio: np.ndarray) -> np.ndarray:
-        """Denoise one waveform (L,) -> (L,)."""
+        """Denoise one waveform (L,) -> (L,).
+
+        Lengths are padded up to a bucket (hop-aligned powers-of-two-ish
+        ladder) so a directory of varied-length files triggers a bounded
+        number of compiles instead of one per length.
+        """
         hop = self.cfg.featurizer.hop_length
         length = len(audio)
-        # pad to a hop multiple so iSTFT returns the full length
-        pad = (-length) % hop
-        if pad:
-            audio = np.pad(audio, (0, pad))
+        bucket = self._bucket(length, hop)
+        audio = np.pad(audio, (0, bucket - length))
         out = self._run(self.variables, jnp.asarray(audio))
         return np.asarray(out)[:length]
+
+    @staticmethod
+    def _bucket(length: int, hop: int) -> int:
+        """Smallest hop-multiple >= length on a 1/8-step geometric ladder."""
+        min_len = 8 * hop
+        if length <= min_len:
+            return min_len
+        size = min_len
+        while size < length:
+            size += max(size // 8, hop)
+        return ((size + hop - 1) // hop) * hop
 
 
 def denoise_directory(

@@ -34,6 +34,7 @@ def loss_fn(
     network_config: NetworkConfig,
     loss_config: LossConfig,
     train: bool = True,
+    tgru_h0=None,
 ):
     """Compute the composite loss.
 
@@ -42,22 +43,25 @@ def loss_fn(
       params / batch_stats: flax collections.
       clean_audio / noisy_audio: (B, L) or (L,) waveforms.
       train: when True, batch stats update and are returned.
+      tgru_h0: optional TGRU carry-in for TBPTT segment training (the carry
+        out is returned; gradients are truncated at segment boundaries by
+        the caller not differentiating through it).
 
     Returns:
-      (loss, loss_dict, new_batch_stats) — loss_dict mirrors the reference's
-      per-term output dict (reference `util.py:243-250`).
+      (loss, loss_dict, new_batch_stats, tgru_h) — loss_dict mirrors the
+      reference's per-term output dict (reference `util.py:243-250`).
     """
     variables = {"params": params, "batch_stats": batch_stats}
     noisy_spec = featurizer.spectrogram(noisy_audio)
     noisy_feat = featurizer.features_from_spec(noisy_spec)
 
     if train:
-        (output, _), updates = apply_fn(
-            variables, noisy_feat, train=True, mutable=["batch_stats"]
+        (output, tgru_h), updates = apply_fn(
+            variables, noisy_feat, tgru_h0, train=True, mutable=["batch_stats"]
         )
         new_batch_stats = updates["batch_stats"]
     else:
-        output, _ = apply_fn(variables, noisy_feat)
+        output, tgru_h = apply_fn(variables, noisy_feat, tgru_h0)
         new_batch_stats = batch_stats
 
     denoised = denoise_output_to_audio(
@@ -97,4 +101,4 @@ def loss_fn(
         loss_dict["cossim"] = cs
 
     loss_dict["loss"] = loss
-    return loss, loss_dict, new_batch_stats
+    return loss, loss_dict, new_batch_stats, tgru_h

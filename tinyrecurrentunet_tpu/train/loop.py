@@ -78,7 +78,15 @@ def train(
     n_iter = resume_iter + 1
 
     writer = MetricsWriter(log_dir or f"{log.directory}/{cfg.train.exp_path}/logs")
-    step_fn = make_train_step(cfg, model, mesh)
+    # TBPTT: segment clips and carry the TGRU state across segments
+    # (each segment is one optimizer update; gradients truncate at the
+    # boundary because the carry crosses jit calls as data).
+    seg_sec = opt.tbptt_segment_sec
+    hop = cfg.featurizer.hop_length
+    seg_len = 0
+    if seg_sec > 0:
+        seg_len = max(int(seg_sec * cfg.trainset.sample_rate) // hop, 1) * hop
+    step_fn = make_train_step(cfg, model, mesh, with_carry=seg_len > 0)
     time0 = time.time() - prev_seconds
 
     metrics = {}
@@ -93,7 +101,18 @@ def train(
             # Profile a short post-warmup window (steps 10-12) when asked.
             if profile_dir is not None and n_iter == 10:
                 jax.profiler.start_trace(profile_dir)
-            state, metrics = step_fn(state, clean, noisy)
+            if seg_len > 0:
+                tgru_h = model.init_tgru_state(
+                    clean.shape[0], cfg.featurizer.num_freqs
+                )
+                num_segs = clean.shape[-1] // seg_len
+                for s in range(num_segs):
+                    sl = slice(s * seg_len, (s + 1) * seg_len)
+                    state, metrics, tgru_h = step_fn(
+                        state, clean[:, sl], noisy[:, sl], tgru_h
+                    )
+            else:
+                state, metrics = step_fn(state, clean, noisy)
             if profile_dir is not None and n_iter == 12:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()

@@ -31,8 +31,19 @@ def global_norm(tree: Any) -> jax.Array:
     )
 
 
-def make_train_step(cfg: Config, model: TRUNet | None = None, mesh: Mesh | None = None):
-    """Build the jitted train step: (state, clean, noisy) -> (state, metrics).
+def make_train_step(
+    cfg: Config,
+    model: TRUNet | None = None,
+    mesh: Mesh | None = None,
+    with_carry: bool = False,
+):
+    """Build the jitted train step.
+
+    with_carry=False: (state, clean, noisy) -> (state, metrics).
+    with_carry=True:  (state, clean, noisy, tgru_h0) -> (state, metrics,
+      tgru_h) — the TBPTT segment step: the TGRU hidden state flows across
+      segments while gradients truncate at the boundary (the carry crosses
+      jit calls as data, SURVEY.md §5 long-context plan).
 
     clean/noisy: (B, L) waveforms, B divisible by the mesh's data axis.
     """
@@ -40,9 +51,9 @@ def make_train_step(cfg: Config, model: TRUNet | None = None, mesh: Mesh | None 
     featurizer = Featurizer(cfg.featurizer)
     loss_cfg = cfg.train.loss_config
 
-    def step(state: TrainState, clean: jax.Array, noisy: jax.Array):
+    def step(state: TrainState, clean, noisy, tgru_h0=None):
         def compute_loss(params):
-            loss, loss_dict, new_stats = loss_fn(
+            loss, loss_dict, new_stats, tgru_h = loss_fn(
                 state.apply_fn,
                 params,
                 state.batch_stats,
@@ -52,27 +63,42 @@ def make_train_step(cfg: Config, model: TRUNet | None = None, mesh: Mesh | None 
                 cfg.network,
                 loss_cfg,
                 train=True,
+                tgru_h0=tgru_h0,
             )
-            return loss, (loss_dict, new_stats)
+            return loss, (loss_dict, new_stats, tgru_h)
 
-        (loss, (loss_dict, new_stats)), grads = jax.value_and_grad(
+        (loss, (loss_dict, new_stats, tgru_h)), grads = jax.value_and_grad(
             compute_loss, has_aux=True
         )(state.params)
         metrics = dict(loss_dict)
         metrics["grad_norm"] = global_norm(grads)
         new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        if with_carry:
+            return new_state, metrics, jax.lax.stop_gradient(tgru_h)
         return new_state, metrics
 
-    if mesh is None:
-        return jax.jit(step, donate_argnums=(0,))
+    if not with_carry:
+        fn = lambda state, clean, noisy: step(state, clean, noisy)  # noqa: E731
+        if mesh is None:
+            return jax.jit(fn, donate_argnums=(0,))
+        repl = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        return jax.jit(
+            fn,
+            in_shardings=(repl, data, data),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
 
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 3))
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
     return jax.jit(
         step,
-        in_shardings=(repl, data, data),
-        out_shardings=(repl, repl),
-        donate_argnums=(0,),
+        in_shardings=(repl, data, data, data),
+        out_shardings=(repl, repl, data),
+        donate_argnums=(0, 3),
     )
 
 
@@ -83,7 +109,7 @@ def make_eval_step(cfg: Config, model: TRUNet | None = None, mesh: Mesh | None =
     loss_cfg = cfg.train.loss_config
 
     def step(state: TrainState, clean: jax.Array, noisy: jax.Array):
-        loss, loss_dict, _ = loss_fn(
+        loss, loss_dict, _, _ = loss_fn(
             state.apply_fn,
             state.params,
             state.batch_stats,

@@ -141,6 +141,26 @@ class TestCompositeLoss:
         )
         assert np.isfinite(float(loss))
 
+    def test_aux_feature_loss(self, rng):
+        """Aux feature matching adds a term and gives the logmag/pcen output
+        channels (unused by the mixture-source mask) a gradient."""
+        fz, ncfg, model, variables, clean, noisy = self._setup(rng)
+        lcfg = LossConfig(stft_lambda=0, aux_feature_lambda=1.0)
+
+        def inner(p):
+            loss, d, _, _ = loss_fn(
+                model.apply, p, variables["batch_stats"], clean, noisy, fz, ncfg, lcfg
+            )
+            return loss, d
+
+        (loss, d), grads = jax.value_and_grad(inner, has_aux=True)(
+            variables["params"]
+        )
+        assert "aux_feature" in d and np.isfinite(float(d["aux_feature"]))
+        # last layer (emits all 8 channels) must receive nonzero grads
+        last = grads["TrCNNBlock_5"]
+        assert any(np.any(np.asarray(v) != 0) for v in jax.tree.leaves(last))
+
     def test_eval_mode_does_not_mutate_stats(self, rng):
         fz, ncfg, model, variables, clean, noisy = self._setup(rng)
         _, _, bs, _ = loss_fn(

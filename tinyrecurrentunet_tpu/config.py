@@ -160,6 +160,12 @@ class LossConfig:
     # Optional cosine-similarity term; available-but-off matches the
     # reference's intent (imported, never wired — D18, `cos_loss.py`).
     cossim_lambda: float = 0.0
+    # Optional feature-matching auxiliary loss: L1 between the network's
+    # mixture feature set and featurizer(clean), and its noise set and
+    # featurizer(noise). Gives every output channel a direct gradient under
+    # phm_source="mixture" (where only the demod-phase channels drive the
+    # mask) and supervises the phase estimates directly.
+    aux_feature_lambda: float = 0.0
     stft_config: STFTLossConfig = dataclasses.field(default_factory=STFTLossConfig)
 
 

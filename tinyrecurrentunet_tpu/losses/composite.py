@@ -100,5 +100,21 @@ def loss_fn(
         loss += loss_config.cossim_lambda * cs
         loss_dict["cossim"] = cs
 
+    # Optional feature-matching auxiliary loss: supervise the mixture set
+    # toward featurizer(clean) and the noise set toward featurizer(noise).
+    if loss_config.aux_feature_lambda > 0:
+        from tinyrecurrentunet_tpu.models.phm import split_feature_sets
+
+        clean_feat = featurizer(clean_audio)
+        noise_feat = featurizer(noisy_audio - clean_audio)
+        mix_est, noise_est = split_feature_sets(
+            output, featurizer.config.num_channels
+        )
+        aux = jnp.mean(jnp.abs(mix_est - clean_feat)) + jnp.mean(
+            jnp.abs(noise_est - noise_feat)
+        )
+        loss += loss_config.aux_feature_lambda * aux
+        loss_dict["aux_feature"] = aux
+
     loss_dict["loss"] = loss
     return loss, loss_dict, new_batch_stats, tgru_h

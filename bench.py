@@ -73,6 +73,22 @@ def main():
     median_step = float(np.median(times))
     rtf_stream = median_step / block_seconds
 
+    # ---- chunked streaming (8 hops per call = 64 ms latency mode)
+    k = 8
+    sdc = StreamingDenoiser(cfg, variables, chunk_frames=k)
+    cstate = sdc.init_state()
+    cblock = jnp.asarray(audio[: hop * k])
+    for _ in range(5):
+        cout, cstate = sdc.process_block(cstate, cblock)
+    jax.block_until_ready(cout)
+    ctimes = []
+    for _ in range(100):
+        start = time.perf_counter()
+        cout, cstate = sdc.process_block(cstate, cblock)
+        cout.block_until_ready()
+        ctimes.append(time.perf_counter() - start)
+    rtf_chunked = float(np.median(ctimes)) / (k * block_seconds)
+
     # ---- offline: the whole 2 s pipeline in one device call
     def offline(variables, audio):
         spec = featurizer.spectrogram(audio)
@@ -101,6 +117,7 @@ def main():
         "vs_baseline": round(target / rtf_stream, 3),
         "median_block_ms": round(median_step * 1000, 4),
         "block_ms": round(block_seconds * 1000, 3),
+        "chunked8_rtf": round(rtf_chunked, 6),
         "offline_rtf": round(rtf_offline, 6),
         "device": str(jax.devices()[0]),
     }

@@ -96,6 +96,15 @@ class TestStreaming:
         ).max()
         assert wrong / scale > 0.2
 
+    def test_chunked_equals_single_steps(self, setup16k):
+        """chunk_frames=4 must reproduce 4x chunk_frames=1 exactly."""
+        cfg, model, fz, variables, audio = setup16k
+        single = StreamingDenoiser(cfg, variables, chunk_frames=1)
+        chunked = StreamingDenoiser(cfg, variables, chunk_frames=4)
+        out_s, _ = single.process(audio[:8192])
+        out_c, _ = chunked.process(audio[:8192])
+        np.testing.assert_allclose(out_c, out_s, rtol=1e-4, atol=1e-6)
+
     def test_stateful_progress(self, setup16k):
         cfg, model, fz, variables, audio = setup16k
         sd = StreamingDenoiser(cfg, variables)

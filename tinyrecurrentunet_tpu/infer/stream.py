@@ -37,6 +37,7 @@ def stream_file(
     input_path: str,
     output_path: str,
     realtime: bool = False,
+    chunk_frames: int = 1,
 ) -> dict:
     """Stream a WAV through the native host + jitted step; returns stats."""
     from tinyrecurrentunet_tpu.runtime import StreamHost
@@ -47,14 +48,14 @@ def stream_file(
     if sr != cfg.featurizer.sample_rate:
         raise ValueError(f"input is {sr} Hz, config wants {cfg.featurizer.sample_rate}")
 
-    hop = cfg.featurizer.hop_length
+    hop = cfg.featurizer.hop_length * chunk_frames
     block_seconds = hop / sr
     pad = (-len(audio)) % hop
     if pad:
         audio = np.pad(audio, (0, pad))
     num_blocks = len(audio) // hop
 
-    sd = StreamingDenoiser(cfg, variables)
+    sd = StreamingDenoiser(cfg, variables, chunk_frames=chunk_frames)
     state = sd.init_state()
     # warm the compile cache before the clock starts
     _, state = sd.process_block(state, np.zeros(hop, np.float32))
@@ -170,6 +171,8 @@ def main():
     parser.add_argument("--mic", action="store_true")
     parser.add_argument("--realtime", action="store_true",
                         help="pace file blocks at real time (measures xruns)")
+    parser.add_argument("--chunk_frames", type=int, default=1,
+                        help="hops per device call (latency/throughput trade)")
     parser.add_argument("--ckpt_iter", default=None)
     parser.add_argument("--random_init", action="store_true")
     parser.add_argument("--latency", default="low")
@@ -191,7 +194,7 @@ def main():
     else:
         if not args.input:
             parser.error("--input is required without --mic")
-        stats = stream_file(cfg, variables, args.input, args.output, args.realtime)
+        stats = stream_file(cfg, variables, args.input, args.output, args.realtime, args.chunk_frames)
         for k, v in stats.items():
             print(f"{k}: {v}")
 

@@ -26,6 +26,11 @@ import numpy as np
 
 def main():
     import jax
+
+    # Persistent compilation cache: the Pallas kernels cost ~100 s each to
+    # compile over the remote-compile tunnel; cache so repeat runs are fast.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/trunet_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
     from tinyrecurrentunet_tpu.config import Config, FeaturizerConfig
@@ -89,6 +94,28 @@ def main():
         ctimes.append(time.perf_counter() - start)
     rtf_chunked = float(np.median(ctimes)) / (k * block_seconds)
 
+    # ---- multi-stream serving capacity (N concurrent streams, K=8 hops)
+    from tinyrecurrentunet_tpu.infer.multistream import MultiStreamDenoiser
+
+    n_streams = 64
+    msd = MultiStreamDenoiser(cfg, variables, num_streams=n_streams, chunk_frames=k)
+    mstate = msd.init_state()
+    mblocks = jnp.asarray(
+        np.tile(audio[: hop * k], (n_streams, 1))
+    )
+    for _ in range(5):
+        mout, mstate = msd.process_block(mstate, mblocks)
+    jax.block_until_ready(mout)
+    mtimes = []
+    for _ in range(50):
+        start = time.perf_counter()
+        mout, mstate = msd.process_block(mstate, mblocks)
+        mout.block_until_ready()
+        mtimes.append(time.perf_counter() - start)
+    call = float(np.median(mtimes))
+    # real-time capacity: N streams advance k*block_seconds of audio per call
+    streams_per_chip = int(n_streams * (k * block_seconds) / call)
+
     # ---- offline: the whole 2 s pipeline in one device call
     def offline(variables, audio):
         spec = featurizer.spectrogram(audio)
@@ -118,6 +145,7 @@ def main():
         "median_block_ms": round(median_step * 1000, 4),
         "block_ms": round(block_seconds * 1000, 3),
         "chunked8_rtf": round(rtf_chunked, 6),
+        "streams_per_chip": streams_per_chip,
         "offline_rtf": round(rtf_offline, 6),
         "device": str(jax.devices()[0]),
     }

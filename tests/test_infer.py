@@ -122,6 +122,27 @@ class TestStreaming:
         assert streamed.shape == (1000,)
 
 
+class TestMultiStream:
+    def test_matches_independent_streams(self, setup16k, rng):
+        """N batched streams == N independent single-stream runs."""
+        from tinyrecurrentunet_tpu.infer.multistream import MultiStreamDenoiser
+
+        cfg, model, fz, variables, audio = setup16k
+        streams = np.stack(
+            [
+                audio[:4096],
+                (0.1 * rng.standard_normal(4096)).astype(np.float32),
+                np.zeros(4096, np.float32),
+            ]
+        )
+        ms = MultiStreamDenoiser(cfg, variables, num_streams=3, chunk_frames=2)
+        batched, _ = ms.process(streams)
+        single = StreamingDenoiser(cfg, variables, chunk_frames=2)
+        for i in range(3):
+            ref, _ = single.process(streams[i])
+            np.testing.assert_allclose(batched[i], ref, rtol=1e-4, atol=1e-6)
+
+
 class TestDenoiser:
     def test_full_clip(self, setup16k):
         cfg, model, fz, variables, audio = setup16k

@@ -112,9 +112,10 @@ class GRU(nn.Module):
 
     def _scan(self, x, h0, params, reverse=False):
         # The Pallas kernel wins by keeping the carry in VMEM across steps
-        # (~2x on the 751-step TGRU); for very short scans (the single-frame
-        # streaming step) it only adds compile time, so fall through.
-        long_enough = x.shape[1] >= 8
+        # (~2x on the 751-step TGRU); for short scans (single-frame or
+        # small-chunk streaming steps) it only adds compile time, so fall
+        # through to lax.scan.
+        long_enough = x.shape[1] >= 16
         if self.use_pallas == "always" or (
             self.use_pallas == "auto"
             and long_enough

@@ -193,7 +193,11 @@ class Featurizer:
         raw_phase = jnp.angle(spec_t)
 
         # unwrap: the first frame passes through (no previous frame).
-        prev_phase = jnp.where(state.frame_count > 0, state.prev_phase, raw_phase)
+        # frame_count may carry leading stream axes (multi-stream serving);
+        # broadcast it against the (..., F) phase.
+        started = state.frame_count > 0
+        started = started.reshape(started.shape + (1,) * (raw_phase.ndim - started.ndim))
+        prev_phase = jnp.where(started, state.prev_phase, raw_phase)
         unwrapped, new_corr = unwrap_step(
             raw_phase, prev_phase, state.unwrap_corr
         )

@@ -44,6 +44,58 @@ class TestPallasGRU:
         np.testing.assert_allclose(np.asarray(hT), np.asarray(ref_h), rtol=1e-4, atol=1e-5)
 
 
+class TestPallasGRUVJP:
+    @pytest.mark.parametrize("batch,length,d,h,chunk,reverse", [
+        (4, 20, 8, 16, 8, False),
+        (4, 20, 8, 16, 8, True),
+        (3, 13, 8, 16, 8, False),   # padding path
+        (16, 33, 64, 128, 16, False),  # TGRU-like shapes
+    ])
+    def test_grads_match_lax_scan(self, rng, batch, length, d, h, chunk, reverse):
+        from tinyrecurrentunet_tpu.ops.pallas_gru_vjp import gru_scan_pallas_trainable
+
+        x = jnp.asarray(rng.standard_normal((batch, length, d)).astype(np.float32))
+        params = _params(rng, d, h)
+        h0 = jnp.asarray(rng.standard_normal((batch, h)).astype(np.float32) * 0.1)
+        # a loss touching both the outputs and the final state
+        w_out = jnp.asarray(rng.standard_normal((h,)).astype(np.float32))
+
+        def loss_ref(x, h0, *ps):
+            out, hT = gru_scan(x, h0, *ps, reverse=reverse)
+            return jnp.mean(out * out) + jnp.sum(hT * w_out)
+
+        def loss_pl(x, h0, *ps):
+            out, hT = gru_scan_pallas_trainable(
+                x, h0, *ps, reverse=reverse, interpret=True, chunk=chunk
+            )
+            return jnp.mean(out * out) + jnp.sum(hT * w_out)
+
+        val_ref, g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(
+            x, h0, *params
+        )
+        val_pl, g_pl = jax.value_and_grad(loss_pl, argnums=(0, 1, 2, 3, 4, 5))(
+            x, h0, *params
+        )
+        np.testing.assert_allclose(float(val_pl), float(val_ref), rtol=1e-5)
+        names = ["dx", "dh0", "dwi", "dwh", "dbi", "dbh"]
+        for name, a, b in zip(names, g_pl, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5,
+                err_msg=f"{name} mismatch (reverse={reverse})",
+            )
+
+    def test_forward_matches(self, rng):
+        from tinyrecurrentunet_tpu.ops.pallas_gru_vjp import gru_scan_pallas_trainable
+
+        x = jnp.asarray(rng.standard_normal((4, 25, 8)).astype(np.float32))
+        params = _params(rng, 8, 16)
+        h0 = jnp.zeros((4, 16))
+        ref_out, ref_h = gru_scan(x, h0, *params)
+        out, hT = gru_scan_pallas_trainable(x, h0, *params, interpret=True, chunk=8)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(hT), np.asarray(ref_h), rtol=1e-4, atol=1e-5)
+
+
 class TestModelWithPallas:
     def test_trunet_pallas_inference_matches(self, rng):
         """Full model with the Pallas recurrence (interpret) == lax.scan."""

@@ -29,4 +29,22 @@ layout live where export parity needs them.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache (Pallas kernels take ~minutes to compile
+# on remote-compile TPU setups; repeat runs hit the cache). Opt out with
+# TRUNET_NO_COMPILE_CACHE=1 or by setting your own cache dir beforehand.
+if not _os.environ.get("TRUNET_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        if _jax.config.jax_compilation_cache_dir is None:
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.environ.get("TRUNET_COMPILE_CACHE", "/tmp/trunet_jax_cache"),
+            )
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
+
 from tinyrecurrentunet_tpu.config import Config, load_config  # noqa: F401

@@ -109,21 +109,30 @@ class GRU(nn.Module):
         return tuple(p.astype(self.dtype) for p in (wi, wh, bi, bh))
 
     use_pallas: str = "never"  # "auto" | "always" | "never"
+    trainable_kernel: bool = False  # use the custom-VJP kernel (training)
 
     def _scan(self, x, h0, params, reverse=False):
-        # The Pallas kernel wins by keeping the carry in VMEM across steps
-        # (~2x on the 751-step TGRU); for short scans (single-frame or
-        # small-chunk streaming steps) it only adds compile time, so fall
-        # through to lax.scan.
+        # The Pallas kernels win by keeping the carry (and, in training, the
+        # backward walk) in VMEM across steps (~2x on the 751-step TGRU);
+        # for short scans (single-frame or small-chunk streaming steps) they
+        # only add compile time, so fall through to lax.scan.
         long_enough = x.shape[1] >= 16
         if self.use_pallas == "always" or (
             self.use_pallas == "auto"
             and long_enough
             and jax.default_backend() == "tpu"
         ):
+            interpret = jax.default_backend() != "tpu"
+            if self.trainable_kernel:
+                from tinyrecurrentunet_tpu.ops.pallas_gru_vjp import (
+                    gru_scan_pallas_trainable,
+                )
+
+                return gru_scan_pallas_trainable(
+                    x, h0, *params, reverse=reverse, interpret=interpret
+                )
             from tinyrecurrentunet_tpu.ops.pallas_gru import gru_scan_pallas
 
-            interpret = jax.default_backend() != "tpu"
             return gru_scan_pallas(
                 x, h0, *params, reverse=reverse, interpret=interpret
             )
@@ -155,14 +164,14 @@ class GRUBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, h0=None, train: bool = False):
-        # The Pallas recurrence kernel has no backward pass yet; training
-        # (and anything that may be differentiated) takes the lax.scan path.
-        use_pallas = "never" if train else self.use_pallas_gru
+        # Training uses the custom-VJP kernel (hand-written BPTT walk);
+        # inference uses the lighter forward-only kernel (no residuals).
         out, h_final = GRU(
             self.hidden,
             bidirectional=self.bidirectional,
             dtype=self.dtype,
-            use_pallas=use_pallas,
+            use_pallas=self.use_pallas_gru,
+            trainable_kernel=train,
         )(x, h0)
         out = nn.Dense(self.out_features, dtype=self.dtype)(out)
         out = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(out)

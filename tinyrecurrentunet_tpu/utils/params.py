@@ -39,6 +39,23 @@ def weight_scaling_init(params, alpha_mul: float = 10.0):
     return walk(jax.device_get(params))
 
 
+def rescale(x):
+    """Min-max rescale to [0, 1] (reference `util.py:26-27`)."""
+    x = jnp.asarray(x)
+    return (x - x.min()) / (x.max() - x.min())
+
+
+def flatten(v):
+    """Flatten one nesting level (reference `util.py:22-23`)."""
+    return [x for y in v for x in y]
+
+
+def std_normal(key, size):
+    """Standard-normal sample (reference `util.py:160-164`, device-neutral
+    and PRNG-keyed instead of global-state CUDA)."""
+    return jax.random.normal(key, size)
+
+
 def count_params(tree) -> int:
     return int(sum(np.prod(x.shape) for x in jax.tree.leaves(tree)))
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Tuple
 
 import numpy as np
@@ -26,6 +27,7 @@ class DataLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         prefetch: int = 2,
+        num_workers: int = 4,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -35,6 +37,12 @@ class DataLoader:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.prefetch = prefetch
+        # Worker threads decode/augment items in parallel (the reference
+        # used 4 torch DataLoader workers, `dataset.py:402`). Determinism is
+        # per-item, not per-schedule: each item draws from
+        # default_rng((seed, epoch, index)), so results are independent of
+        # worker interleaving.
+        self.num_workers = max(num_workers, 1)
         self._epoch = 0
 
     def __len__(self):
@@ -52,19 +60,23 @@ class DataLoader:
             rng.shuffle(idx)
         return idx[self.shard_index :: self.num_shards]
 
+    def _get_item(self, index: int):
+        rng = np.random.default_rng((self.seed, self._epoch, int(index)))
+        return self.dataset.get(int(index), rng)
+
     def _make_batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray, list]]:
-        rng = np.random.default_rng((self.seed, self._epoch, self.shard_index))
         indices = self._epoch_indices()
-        for i in range(0, len(indices), self.batch_size):
-            chunk = indices[i : i + self.batch_size]
-            if self.drop_last and len(chunk) < self.batch_size:
-                return
-            items = [self.dataset.get(int(j), rng) for j in chunk]
-            length = min(len(c) for c, _, _ in items)
-            clean = np.stack([c[:length] for c, _, _ in items])
-            noisy = np.stack([n[:length] for _, n, _ in items])
-            ids = [fid for _, _, fid in items]
-            yield clean, noisy, ids
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            for i in range(0, len(indices), self.batch_size):
+                chunk = indices[i : i + self.batch_size]
+                if self.drop_last and len(chunk) < self.batch_size:
+                    return
+                items = list(pool.map(self._get_item, chunk))
+                length = min(len(c) for c, _, _ in items)
+                clean = np.stack([c[:length] for c, _, _ in items])
+                noisy = np.stack([n[:length] for _, n, _ in items])
+                ids = [fid for _, _, fid in items]
+                yield clean, noisy, ids
 
     def __iter__(self):
         """Background-thread prefetch iterator; one pass over the epoch."""

@@ -61,8 +61,21 @@ class DataLoader:
         return idx[self.shard_index :: self.num_shards]
 
     def _get_item(self, index: int):
-        rng = np.random.default_rng((self.seed, self._epoch, int(index)))
-        return self.dataset.get(int(index), rng)
+        """Fetch one item; a corrupt/unreadable file falls back to the next
+        index instead of killing the epoch (the reference's loader raised,
+        hanging the NCCL group — SURVEY.md §5 failure-detection gap)."""
+        last_err = None
+        for attempt in range(4):
+            idx = (int(index) + attempt) % len(self.dataset)
+            rng = np.random.default_rng((self.seed, self._epoch, idx))
+            try:
+                return self.dataset.get(idx, rng)
+            except Exception as e:  # noqa: BLE001 - data errors only
+                last_err = e
+                print(f"data: skipping item {idx}: {e}", flush=True)
+        raise RuntimeError(
+            f"4 consecutive unreadable dataset items starting at {index}"
+        ) from last_err
 
     def _make_batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray, list]]:
         indices = self._epoch_indices()

@@ -164,7 +164,10 @@ class LossConfig:
     # mixture feature set and featurizer(clean), and its noise set and
     # featurizer(noise). Gives every output channel a direct gradient under
     # phm_source="mixture" (where only the demod-phase channels drive the
-    # mask) and supervises the phase estimates directly.
+    # mask). EXPERIMENTAL — measured on the synthetic task it HURT SI-SDR
+    # (-0.2 dB at 20k iters vs +1.9 dB at 3k without): pinning the phase
+    # estimates to the true clean/noise phases conflicts with the mask
+    # treating them as free latents. Keep 0 unless re-validated.
     aux_feature_lambda: float = 0.0
     stft_config: STFTLossConfig = dataclasses.field(default_factory=STFTLossConfig)
 

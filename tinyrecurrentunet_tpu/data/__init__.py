@@ -6,5 +6,6 @@ from tinyrecurrentunet_tpu.data.augment import DataAugment  # noqa: F401
 from tinyrecurrentunet_tpu.data.dataset import (  # noqa: F401
     CleanNoisyPairDataset,
     SyntheticPairDataset,
+    load_clean_noisy_dataloader,
 )
 from tinyrecurrentunet_tpu.data.loader import DataLoader  # noqa: F401

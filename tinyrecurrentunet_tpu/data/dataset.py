@@ -134,6 +134,33 @@ def _fit_length(x: np.ndarray, length: int, rng: np.random.Generator):
     return x[:length]
 
 
+def load_clean_noisy_dataloader(
+    cfg: TrainsetConfig,
+    subset: str,
+    batch_size: int,
+    num_shards: int = 1,
+    shard_index: int = 0,
+    shuffle: bool | None = None,
+):
+    """Factory mirroring the reference's `load_CleanNoisyPairDataset`
+    (reference `dataset.py:393-412`): dataset + host-sharded loader in one
+    call; shuffling defaults to training-only, like the reference's
+    sampler choice."""
+    from tinyrecurrentunet_tpu.data.loader import DataLoader
+
+    dataset = CleanNoisyPairDataset(cfg, subset=subset)
+    if shuffle is None:
+        shuffle = subset == "training"
+    return DataLoader(
+        dataset,
+        batch_size=batch_size,
+        shuffle=shuffle,
+        drop_last=subset == "training",
+        num_shards=num_shards,
+        shard_index=shard_index,
+    )
+
+
 class SyntheticPairDataset:
     """Procedural clean/noisy pairs: harmonic 'speech-like' tones with
     band-limited noise, deterministic per (seed, index)."""

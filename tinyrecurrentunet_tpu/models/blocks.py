@@ -112,14 +112,18 @@ class GRU(nn.Module):
     trainable_kernel: bool = False  # use the custom-VJP kernel (training)
 
     def _scan(self, x, h0, params, reverse=False):
-        # The Pallas kernels win by keeping the carry (and, in training, the
-        # backward walk) in VMEM across steps (~2x on the 751-step TGRU);
-        # for short scans (single-frame or small-chunk streaming steps) they
-        # only add compile time, so fall through to lax.scan.
-        long_enough = x.shape[1] >= 16
+        # Kernel selection is by SHAPE (measured on TPU v5e):
+        # - narrow batch + long scan (inference TGRU, 16 rows x 751 steps):
+        #   the Pallas kernel keeps the carry in VMEM and wins ~2x.
+        # - wide batch (training folds clips*frames into rows: 128-2000):
+        #   the VMEM budget forces tiny T-chunks and DMA bubbles dominate —
+        #   lax.scan with its already-MXU-wide per-step matmul wins ~11x.
+        # - short scans (streaming steps): kernel only adds compile time.
+        rows, length = x.shape[0], x.shape[1]
+        good_shape = rows <= 64 and length >= 16
         if self.use_pallas == "always" or (
             self.use_pallas == "auto"
-            and long_enough
+            and good_shape
             and jax.default_backend() == "tpu"
         ):
             interpret = jax.default_backend() != "tpu"

@@ -88,7 +88,7 @@ def gru_scan_pallas(
     bh: jax.Array,
     reverse: bool = False,
     interpret: bool = False,
-    chunk: int = 64,
+    chunk: int | None = None,
 ):
     """Drop-in replacement for ops.gru.gru_scan with the recurrence in a
     Pallas kernel. x (B, L, D) -> (outputs (B, L, H), final hidden (B, H)).
@@ -103,7 +103,13 @@ def gru_scan_pallas(
     xs = jnp.swapaxes(x_proj, 0, 1)  # (L, B, 3H) scan-major
 
     # pad L to a chunk multiple; padded steps run but their outputs are
-    # dropped and the carry is taken at the true final index.
+    # dropped and the carry is taken at the true final index. Auto-size the
+    # chunk so VMEM-resident blocks (x_proj + outputs per step, double-
+    # buffered) stay within budget at wide batch shapes.
+    if chunk is None:
+        budget = 4 * 1024 * 1024
+        bytes_per_step = batch * 4 * (4 * hidden)
+        chunk = int(max(1, min(budget // max(bytes_per_step, 1), 128)))
     chunk = min(chunk, max(length, 1))
     pad = (-length) % chunk
     if pad:

@@ -142,6 +142,23 @@ def _pad_time(xs, chunk, length):
     return xs, length + pad
 
 
+def _auto_chunk(batch: int, hidden: int, length: int, requested: int | None) -> int:
+    """Largest T-chunk whose VMEM-resident blocks fit a ~4 MB budget.
+
+    Per step the kernels hold x_proj (3H) + residuals (4H) + outputs (H) +
+    h_prev (H) + d_xp (3H) floats per batch row (the worst of fwd/bwd),
+    double-buffered by the grid pipeline. Training shapes can be wide
+    (B = clips x bottleneck_freqs = 128+), where large chunks blow the
+    16 MB VMEM limit.
+    """
+    if requested is not None:
+        return min(requested, max(length, 1))
+    budget = 4 * 1024 * 1024
+    bytes_per_step = batch * 4 * (9 * hidden)
+    chunk = max(1, budget // max(bytes_per_step, 1))
+    return int(min(chunk, max(length, 1), 128))
+
+
 def _forward(x, h0, wi, wh, bi, bh, reverse, interpret, chunk):
     batch, length, _ = x.shape
     hidden = h0.shape[-1]
@@ -150,7 +167,7 @@ def _forward(x, h0, wi, wh, bi, bh, reverse, interpret, chunk):
         x_proj = x_proj[:, ::-1]
     xs = jnp.swapaxes(x_proj, 0, 1)  # (L, B, 3H) scan-major
 
-    chunk = min(chunk, max(length, 1))
+    chunk = _auto_chunk(batch, hidden, length, chunk)
     xs, padded = _pad_time(xs, chunk, length)
     num_chunks = padded // chunk
 
@@ -196,7 +213,7 @@ def _to_outputs(out_scan, length, reverse):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def gru_scan_pallas_trainable(
-    x, h0, wi, wh, bi, bh, reverse=False, interpret=False, chunk=64
+    x, h0, wi, wh, bi, bh, reverse=False, interpret=False, chunk=None
 ):
     """Differentiable drop-in for ops.gru.gru_scan backed by Pallas kernels.
 
@@ -224,7 +241,7 @@ def _bwd_rule(reverse, interpret, chunk, residuals, grads):
     batch, length, _ = x.shape
     hidden = h0.shape[-1]
     padded = out_scan.shape[0]
-    chunk_eff = min(chunk, max(length, 1))
+    chunk_eff = _auto_chunk(batch, hidden, length, chunk)
     num_chunks = padded // chunk_eff
 
     # upstream grads in scan-major order, matching the forward's xs

@@ -69,6 +69,36 @@ class TestQuantize:
         assert rel < 0.1, rel
 
 
+class TestRTBench:
+    def test_engines_run_and_report(self, setup):
+        from tinyrecurrentunet_tpu.export.rt_bench import run_bench
+
+        cfg, model, variables = setup
+        results = run_bench(cfg, variables)
+        for key in (
+            "jit_full_clip_rtf",
+            "jit_streaming_rtf",
+            "int8_full_clip_rtf",
+            "clip_seconds",
+        ):
+            assert key in results and np.isfinite(results[key]), key
+        assert results["frames"] == 16
+
+
+class TestDenoiserBuckets:
+    def test_bucket_ladder(self):
+        from tinyrecurrentunet_tpu.infer.denoise import Denoiser
+
+        hop = 128
+        assert Denoiser._bucket(100, hop) == 8 * hop
+        for length in (5000, 16000, 16001, 100000):
+            b = Denoiser._bucket(length, hop)
+            assert b >= length and b % hop == 0
+        # geometric ladder: bounded bucket count over a wide length range
+        buckets = {Denoiser._bucket(n, hop) for n in range(1000, 200000, 777)}
+        assert len(buckets) < 50  # 1/8-step ladder: ~12.5% growth per bucket
+
+
 class TestStableHLO:
     def test_forward_and_step_roundtrip(self, setup, tmp_path):
         from tinyrecurrentunet_tpu.export.export import export_stablehlo, load_stablehlo

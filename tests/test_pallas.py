@@ -84,6 +84,39 @@ class TestPallasGRUVJP:
                 err_msg=f"{name} mismatch (reverse={reverse})",
             )
 
+    def test_bfloat16_inputs(self, rng):
+        """bf16 inputs work (the recurrence runs f32 inside the kernel) and
+        stay close to the f32 reference."""
+        from tinyrecurrentunet_tpu.ops.pallas_gru_vjp import gru_scan_pallas_trainable
+
+        x = jnp.asarray(rng.standard_normal((4, 20, 8)).astype(np.float32))
+        params = _params(rng, 8, 16)
+        h0 = jnp.zeros((4, 16))
+        ref_out, ref_h = gru_scan(x, h0, *params)
+        out, hT = gru_scan_pallas_trainable(
+            x.astype(jnp.bfloat16),
+            h0.astype(jnp.bfloat16),
+            *[p.astype(jnp.bfloat16) for p in params],
+            interpret=True,
+            chunk=8,
+        )
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref_out), rtol=0.1, atol=0.05
+        )
+
+        def loss(x16):
+            o, h = gru_scan_pallas_trainable(
+                x16, h0.astype(jnp.bfloat16),
+                *[p.astype(jnp.bfloat16) for p in params],
+                interpret=True, chunk=8,
+            )
+            return jnp.mean(o.astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(x.astype(jnp.bfloat16))
+        assert g.dtype == jnp.bfloat16
+        assert np.all(np.isfinite(np.asarray(g, np.float32)))
+
     def test_forward_matches(self, rng):
         from tinyrecurrentunet_tpu.ops.pallas_gru_vjp import gru_scan_pallas_trainable
 

@@ -95,9 +95,12 @@ def gru_scan_pallas(
     """
     batch, length, _ = x.shape
     hidden = h0.shape[-1]
+    out_dtype = x.dtype
 
-    # one big MXU matmul for every step's input projection
+    # one big MXU matmul for every step's input projection (input dtype,
+    # e.g. bf16); the recurrence itself runs in f32 inside the kernel.
     x_proj = jnp.dot(x, wi, preferred_element_type=x.dtype) + bi  # (B, L, 3H)
+    x_proj = x_proj.astype(jnp.float32)
     if reverse:
         x_proj = x_proj[:, ::-1]
     xs = jnp.swapaxes(x_proj, 0, 1)  # (L, B, 3H) scan-major
@@ -139,12 +142,17 @@ def gru_scan_pallas(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((padded_len, batch, hidden), x.dtype),
-            jax.ShapeDtypeStruct((batch, hidden), x.dtype),
+            jax.ShapeDtypeStruct((padded_len, batch, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((batch, hidden), jnp.float32)],
         interpret=interpret,
-    )(xs, h0, wh, bh.reshape(1, -1))
+    )(
+        xs,
+        h0.astype(jnp.float32),
+        wh.astype(jnp.float32),
+        bh.reshape(1, -1).astype(jnp.float32),
+    )
 
     out = out[:length]
     if pad:
@@ -153,4 +161,4 @@ def gru_scan_pallas(
         h_final = out[length - 1]
     if reverse:
         out = out[::-1]
-    return jnp.swapaxes(out, 0, 1), h_final
+    return jnp.swapaxes(out, 0, 1).astype(out_dtype), h_final.astype(out_dtype)

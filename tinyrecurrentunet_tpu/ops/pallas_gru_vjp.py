@@ -165,7 +165,8 @@ def _forward(x, h0, wi, wh, bi, bh, reverse, interpret, chunk):
     x_proj = jnp.dot(x, wi, preferred_element_type=x.dtype) + bi
     if reverse:
         x_proj = x_proj[:, ::-1]
-    xs = jnp.swapaxes(x_proj, 0, 1)  # (L, B, 3H) scan-major
+    # recurrence runs in f32 inside the kernels regardless of compute dtype
+    xs = jnp.swapaxes(x_proj, 0, 1).astype(jnp.float32)  # (L, B, 3H)
 
     chunk = _auto_chunk(batch, hidden, length, chunk)
     xs, padded = _pad_time(xs, chunk, length)
@@ -190,25 +191,30 @@ def _forward(x, h0, wi, wh, bi, bh, reverse, interpret, chunk):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((padded, batch, hidden), x.dtype),
-            jax.ShapeDtypeStruct((batch, hidden), x.dtype),
-            jax.ShapeDtypeStruct((padded, batch, 4 * hidden), x.dtype),
+            jax.ShapeDtypeStruct((padded, batch, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((padded, batch, 4 * hidden), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((batch, hidden), jnp.float32)],
         interpret=interpret,
-    )(xs, h0, wh, bh.reshape(1, -1))
+    )(
+        xs,
+        h0.astype(jnp.float32),
+        wh.astype(jnp.float32),
+        bh.reshape(1, -1).astype(jnp.float32),
+    )
 
     if padded != length:
         hT = out[length - 1]
     return out, hT, xs, saved, chunk, padded
 
 
-def _to_outputs(out_scan, length, reverse):
+def _to_outputs(out_scan, length, reverse, dtype):
     out = out_scan[:length]
     outputs = jnp.swapaxes(out, 0, 1)
     if reverse:
         outputs = outputs[:, ::-1]
-    return outputs
+    return outputs.astype(dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
@@ -222,17 +228,17 @@ def gru_scan_pallas_trainable(
     out_scan, hT, _, _, _, _ = _forward(
         x, h0, wi, wh, bi, bh, reverse, interpret, chunk
     )
-    return _to_outputs(out_scan, x.shape[1], reverse), hT
+    return _to_outputs(out_scan, x.shape[1], reverse, x.dtype), hT.astype(x.dtype)
 
 
 def _fwd_rule(x, h0, wi, wh, bi, bh, reverse, interpret, chunk):
     out_scan, hT, xs, saved, chunk_eff, padded = _forward(
         x, h0, wi, wh, bi, bh, reverse, interpret, chunk
     )
-    outputs = _to_outputs(out_scan, x.shape[1], reverse)
+    outputs = _to_outputs(out_scan, x.shape[1], reverse, x.dtype)
     del xs
     residuals = (x, h0, wi, wh, out_scan, saved)
-    return (outputs, hT), residuals
+    return (outputs, hT.astype(x.dtype)), residuals
 
 
 def _bwd_rule(reverse, interpret, chunk, residuals, grads):
@@ -245,7 +251,8 @@ def _bwd_rule(reverse, interpret, chunk, residuals, grads):
     num_chunks = padded // chunk_eff
 
     # upstream grads in scan-major order, matching the forward's xs
-    g = jnp.swapaxes(g_out, 0, 1)  # (L, B, H)
+    g = jnp.swapaxes(g_out, 0, 1).astype(jnp.float32)  # (L, B, H)
+    g_hT = g_hT.astype(jnp.float32)
     if reverse:
         g = g[::-1]
     # the final-state grad attaches to the last REAL step
@@ -285,10 +292,10 @@ def _bwd_rule(reverse, interpret, chunk, residuals, grads):
             pl.BlockSpec((batch, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((padded, batch, 3 * hidden), x.dtype),
+            jax.ShapeDtypeStruct((padded, batch, 3 * hidden), jnp.float32),
             jax.ShapeDtypeStruct((hidden, 3 * hidden), jnp.float32),
             jax.ShapeDtypeStruct((1, 3 * hidden), jnp.float32),
-            jax.ShapeDtypeStruct((batch, hidden), x.dtype),
+            jax.ShapeDtypeStruct((batch, hidden), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((batch, hidden), jnp.float32),
@@ -296,17 +303,25 @@ def _bwd_rule(reverse, interpret, chunk, residuals, grads):
             pltpu.VMEM((1, 3 * hidden), jnp.float32),
         ],
         interpret=interpret,
-    )(g_rev, hprev_rev, saved_rev, wh)
+    )(g_rev, hprev_rev, saved_rev, wh.astype(jnp.float32))
 
     dxp = dxp_rev[::-1][:length]  # (L, B, 3H) forward order
     d_xproj = jnp.swapaxes(dxp, 0, 1)  # (B, L, 3H)
     if reverse:
         d_xproj = d_xproj[:, ::-1]
 
+    d_xproj = d_xproj.astype(x.dtype)
     dx = jnp.einsum("blh,dh->bld", d_xproj, wi)
     dwi = jnp.einsum("bld,blh->dh", x, d_xproj)
     dbi = jnp.sum(d_xproj, axis=(0, 1))
-    return dx, dh0, dwi, dwh.astype(x.dtype), dbi, dbh.reshape(-1).astype(x.dtype)
+    return (
+        dx,
+        dh0.astype(x.dtype),
+        dwi,
+        dwh.astype(x.dtype),
+        dbi,
+        dbh.reshape(-1).astype(x.dtype),
+    )
 
 
 gru_scan_pallas_trainable.defvjp(_fwd_rule, _bwd_rule)

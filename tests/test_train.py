@@ -362,8 +362,13 @@ class TestTrainLoop:
             ),
         )
         ds = SyntheticPairDataset(num_items=4, length_sec=0.5, sample_rate=16000)
-        state, metrics = train(cfg, dataset=ds, max_iters=3, log_dir=str(tmp_path / "logs"))
+        vds = SyntheticPairDataset(num_items=2, length_sec=0.5, sample_rate=16000, seed=9)
+        state, metrics = train(
+            cfg, dataset=ds, max_iters=3, log_dir=str(tmp_path / "logs"),
+            valid_dataset=vds,
+        )
         assert np.isfinite(float(metrics["loss"]))
+        assert "valid_loss" in metrics and np.isfinite(metrics["valid_loss"])
         assert int(state.step) == 3
         # resume continues from the saved step
         state2, _ = train(cfg, dataset=ds, max_iters=5, log_dir=str(tmp_path / "logs"))

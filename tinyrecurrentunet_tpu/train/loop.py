@@ -39,6 +39,7 @@ def train(
     mesh=None,
     log_dir: str | None = None,
     profile_dir: str | None = None,
+    valid_dataset=None,
 ):
     """Run training; returns (final_state, last_metrics).
 
@@ -87,6 +88,28 @@ def train(
     if seg_sec > 0:
         seg_len = max(int(seg_sec * cfg.trainset.sample_rate) // hop, 1) * hop
     step_fn = make_train_step(cfg, model, mesh, with_carry=seg_len > 0)
+
+    # Optional held-out validation every iters_per_valid (the reference
+    # config carries the knob but never evaluates, `config/tiny.json:18`);
+    # Valid-Loss on unseen data is the overfitting signal the training
+    # loss cannot provide.
+    eval_fn = None
+    valid_batch = None
+    if valid_dataset is not None:
+        from tinyrecurrentunet_tpu.train.step import make_eval_step
+
+        eval_fn = make_eval_step(cfg, model, mesh)
+        vrng = np.random.default_rng(1234)
+        n_items = min(len(valid_dataset), batch_size)
+        n_items = max(n_items - n_items % num_devices, num_devices)
+        items = [valid_dataset.get(i, vrng) for i in range(n_items)]
+        vlen = min(len(c) for c, _, _ in items)
+        valid_batch = (
+            np.stack([c[:vlen] for c, _, _ in items]).astype(np.float32),
+            np.stack([n[:vlen] for _, n, _ in items]).astype(np.float32),
+        )
+        if mesh is not None:
+            valid_batch = shard_batch(mesh, valid_batch)
     time0 = time.time() - prev_seconds
 
     metrics = {}
@@ -121,26 +144,32 @@ def train(
             if n_iter % log.iters_per_valid == 0:
                 metrics = jax.device_get(metrics)
                 lr = current_learning_rate(cfg, n_iter)
+                valid_msg = ""
+                if eval_fn is not None:
+                    vmetrics = jax.device_get(eval_fn(state, *valid_batch))
+                    metrics["valid_loss"] = float(vmetrics["loss"])
+                    valid_msg = f" \tvalid: {metrics['valid_loss']:.7f}"
                 print(
                     f"iteration: {n_iter} \tloss: {float(metrics['loss']):.7f} "
-                    f"\tgrad_norm: {float(metrics['grad_norm']):.4f} \tlr: {lr:.3e}",
+                    f"\tgrad_norm: {float(metrics['grad_norm']):.4f} \tlr: {lr:.3e}"
+                    + valid_msg,
                     flush=True,
                 )
                 if jax.process_index() == 0:
-                    writer.scalars(
-                        n_iter,
-                        {
-                            "Train/Train-Loss": metrics["loss"],
-                            "Train/Train-Reduced-Loss": metrics["loss"],
-                            "Train/Gradient-Norm": metrics["grad_norm"],
-                            "Train/learning-rate": lr,
-                            **{
-                                f"Train/loss-{k}": v
-                                for k, v in metrics.items()
-                                if k not in ("loss", "grad_norm")
-                            },
+                    scalars = {
+                        "Train/Train-Loss": metrics["loss"],
+                        "Train/Train-Reduced-Loss": metrics["loss"],
+                        "Train/Gradient-Norm": metrics["grad_norm"],
+                        "Train/learning-rate": lr,
+                        **{
+                            f"Train/loss-{k}": v
+                            for k, v in metrics.items()
+                            if k not in ("loss", "grad_norm", "valid_loss")
                         },
-                    )
+                    }
+                    if "valid_loss" in metrics:
+                        scalars["Valid/Valid-Loss"] = metrics["valid_loss"]
+                    writer.scalars(n_iter, scalars)
 
             if (
                 n_iter > 0
@@ -182,11 +211,18 @@ def main():
 
     cfg = load_config(args.config)
     dataset = None
+    valid_dataset = None
     if args.synthetic:
         dataset = SyntheticPairDataset(
             num_items=256,
             length_sec=cfg.trainset.crop_length_sec,
             sample_rate=cfg.trainset.sample_rate,
+        )
+        valid_dataset = SyntheticPairDataset(
+            num_items=16,
+            length_sec=cfg.trainset.crop_length_sec,
+            sample_rate=cfg.trainset.sample_rate,
+            seed=999,
         )
     mesh = make_mesh() if args.data_parallel else None
     train(
@@ -195,6 +231,7 @@ def main():
         max_iters=args.max_iters,
         mesh=mesh,
         profile_dir=args.profile,
+        valid_dataset=valid_dataset,
     )
 
 

@@ -132,6 +132,33 @@ class TestTFLite:
         report = parity_report(cfg, variables, path, feats)
         assert report["max_rel_err"] < 1e-4, report
 
+    def test_streaming_step_export(self, setup, tmp_path):
+        """Per-frame step export: the edge artifact; small and state-true."""
+        tf = pytest.importorskip("tensorflow")
+        from tinyrecurrentunet_tpu.export.export import export_tflite_streaming
+
+        cfg, model, variables = setup
+        path = export_tflite_streaming(cfg, variables, str(tmp_path), int8=True)
+        assert os.path.getsize(path) < 600 * 1024  # ~460 KB measured
+
+        interp = tf.lite.Interpreter(model_path=path)
+        interp.allocate_tensors()
+        rng = np.random.default_rng(0)
+        frame = rng.standard_normal((1, 257, 4)).astype(np.float32) * 0.3
+        h = np.zeros((1, 16, 128), np.float32)
+        for d in interp.get_input_details():
+            interp.set_tensor(d["index"], frame if d["shape"][-1] == 4 else h)
+        interp.invoke()
+        outs = [
+            interp.get_tensor(d["index"]) for d in interp.get_output_details()
+        ]
+        y = [o for o in outs if o.shape[-1] == 8][0]
+        h_new = [o for o in outs if o.shape[-1] == 128][0]
+        ref_y, ref_h = model.apply(variables, jnp.asarray(frame), jnp.asarray(h))
+        rel = np.abs(y - np.asarray(ref_y)).max() / (np.abs(np.asarray(ref_y)).max() + 1e-9)
+        assert rel < 0.05, rel
+        assert np.any(h_new != 0)
+
     def test_int8_runs(self, setup, tmp_path):
         tf = pytest.importorskip("tensorflow")
         del tf

@@ -197,6 +197,10 @@ def main():
         "--synthetic", action="store_true", help="train on the synthetic dataset"
     )
     parser.add_argument(
+        "--synthetic_items", type=int, default=256,
+        help="size of the synthetic training set",
+    )
+    parser.add_argument(
         "--data_parallel",
         action="store_true",
         help="use all local devices via a data mesh",
@@ -214,7 +218,7 @@ def main():
     valid_dataset = None
     if args.synthetic:
         dataset = SyntheticPairDataset(
-            num_items=256,
+            num_items=args.synthetic_items,
             length_sec=cfg.trainset.crop_length_sec,
             sample_rate=cfg.trainset.sample_rate,
         )

@@ -9,7 +9,6 @@ import pytest
 
 from tinyrecurrentunet_tpu.config import (
     Config,
-    FeaturizerConfig,
     NetworkConfig,
     config_from_dict,
     load_config,

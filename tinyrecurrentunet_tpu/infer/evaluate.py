@@ -14,8 +14,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
-
 from tinyrecurrentunet_tpu.data.audio_io import read_wav
 from tinyrecurrentunet_tpu.infer.metrics import pesq_score, si_sdr, stoi
 

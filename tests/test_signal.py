@@ -82,20 +82,22 @@ class TestSTFT:
         assert stft(x, 512, 128).shape == (751, 257)
 
     def test_frame_overlap_add_inverse(self, rng):
+        """overlap_add(frame_signal(x)) == x * coverage-count, on both the
+        reshape fast path (hop | n_fft) and the general path."""
         x = rng.standard_normal(4096).astype(np.float32)
         for n_fft, hop in [(512, 128), (512, 50)]:
             frames = frame_signal(jnp.asarray(x), n_fft, hop)
             t = frames.shape[0]
             total = (t - 1) * hop + n_fft
             ola = np.asarray(overlap_add(frames, hop, total))
-            # each sample is summed once per frame covering it
-            cover = np.asarray(
-                overlap_add(jnp.ones((t, n_fft)), hop, total)
-            )
+            cover = np.asarray(overlap_add(jnp.ones((t, n_fft)), hop, total))
             np.testing.assert_allclose(
-                ola, np.asarray(overlap_add(frames, hop, total))
+                ola, x[:total] * cover, rtol=1e-5, atol=1e-5
             )
-            assert cover.max() == pytest.approx(n_fft // hop if n_fft % hop == 0 else cover.max())
+            if n_fft % hop == 0:
+                # steady-state coverage equals the overlap factor
+                assert cover[n_fft : total - n_fft].max() == n_fft // hop
+                assert cover[n_fft : total - n_fft].min() == n_fft // hop
 
     def test_batched_stft(self, rng):
         x = rng.standard_normal((3, 8000)).astype(np.float32)

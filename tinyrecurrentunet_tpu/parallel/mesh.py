@@ -32,9 +32,23 @@ def initialize_distributed(cfg: DistConfig) -> None:
 
 
 def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
-    """1-D data-parallel mesh over the first `num_devices` devices."""
+    """1-D data-parallel mesh over the first `num_devices` devices.
+
+    Raises when fewer devices exist than requested — silently truncating
+    let round 1's multichip dryrun fail as a confusing late assert
+    (MULTICHIP_r01.json) instead of a clear error at mesh construction.
+    """
     devices = jax.devices()
     if num_devices is not None:
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devices)} JAX device(s) exist "
+                f"(platform={devices[0].platform!r}); set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{num_devices} JAX_PLATFORMS=cpu before the backend "
+                "initializes, or run on real hardware"
+            )
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (axis,))
 

@@ -1,6 +1,7 @@
 # Convenience targets. See README.md / CLAUDE.md.
 
-.PHONY: test bench native train-demo quickstart clean
+.PHONY: test bench native train-demo quickstart clean \
+	train-quality quality quality-artifact
 
 test:
 	python -m pytest tests/ -q
@@ -17,6 +18,21 @@ train-demo:
 
 quickstart:
 	python examples/quickstart.py
+
+# ---- quality story (VERDICT round-1 item #2): train on the procedural
+# speech corpus, snapshot the weights as a standalone artifact, evaluate
+# through the full denoise_directory -> evaluate_dns pipeline on the
+# held-out DNS-layout testset, and write QUALITY.json.
+train-quality:
+	python -m tinyrecurrentunet_tpu.train.loop -c config/proc16k.json --procedural
+
+quality-artifact:
+	python -m tinyrecurrentunet_tpu.train.export_pretrained -c config/proc16k.json \
+		--out artifacts/TRUNet-proc
+
+quality:
+	python -m tinyrecurrentunet_tpu.infer.quality -c config/proc16k.json \
+		--pretrained artifacts/TRUNet-proc --out QUALITY.json
 
 clean:
 	rm -rf ckpt exp logs .pytest_cache

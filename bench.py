@@ -11,17 +11,52 @@ Prints ONE JSON line:
   reference `rt.py:20-27`).
 - vs_baseline: BASELINE.md target is RTF <= 0.05 per chip; reported as
   target/measured so >1 means better than target.
-- extras: offline full-clip RTF (whole 2 s pipeline in one device call) and
-  the per-block breakdown.
+- extras: offline full-clip RTF (whole 2 s pipeline in one device call),
+  the per-block breakdown, MFU/FLOP accounting from XLA cost_analysis
+  (VERDICT round-1 item #5), the Pallas-GRU-kernel speedup on the offline
+  path (item #8), and held-out quality metrics from the committed trained
+  artifact (item #2).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# Peak bf16 matmul throughput per chip (public figures). MFU is reported
+# against bf16 peak — the standard convention — even where parts of the
+# graph run f32.
+_PEAK_BF16_FLOPS = (
+    ("TPU v6", 918e12),
+    ("TPU v5p", 459e12),
+    ("TPU v5 lite", 197e12),
+    ("TPU v5e", 197e12),
+    ("TPU v4", 275e12),
+)
+
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", str(device))
+    for prefix, peak in _PEAK_BF16_FLOPS:
+        if kind.startswith(prefix):
+            return peak
+    return 197e12
+
+
+def _program_flops(compiled) -> float | None:
+    """FLOPs of a compiled XLA program via cost_analysis (None if opaque)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
 
 
 def main():
@@ -116,25 +151,52 @@ def main():
     # real-time capacity: N streams advance k*block_seconds of audio per call
     streams_per_chip = int(n_streams * (k * block_seconds) / call)
 
-    # ---- offline: the whole 2 s pipeline in one device call
-    def offline(variables, audio):
-        spec = featurizer.spectrogram(audio)
-        feats = featurizer.features_from_spec(spec)
-        output, _ = model.apply(variables, feats)
-        return denoise_output_to_audio(
-            output, featurizer, cfg.network, length=audio.shape[-1],
-            mixture_spec=spec,
-        )
+    # ---- offline: the whole 2 s pipeline in one device call, measured with
+    # the Pallas GRU kernel both on (auto selection) and off (pure lax.scan)
+    # so the kernel's win is a recorded number (VERDICT round-1 item #8).
+    def time_offline(network_cfg):
+        m = TRUNet(network_cfg)
 
-    offline_jit = jax.jit(offline)
-    out = offline_jit(variables, jnp.asarray(audio))
-    jax.block_until_ready(out)
-    reps = 20
-    start = time.perf_counter()
-    for _ in range(reps):
+        def offline(variables, audio):
+            spec = featurizer.spectrogram(audio)
+            feats = featurizer.features_from_spec(spec)
+            output, _ = m.apply(variables, feats)
+            return denoise_output_to_audio(
+                output, featurizer, network_cfg, length=audio.shape[-1],
+                mixture_spec=spec,
+            )
+
+        offline_jit = jax.jit(offline)
+        lowered = offline_jit.lower(variables, jnp.asarray(audio))
+        compiled = lowered.compile()
         out = offline_jit(variables, jnp.asarray(audio))
-    jax.block_until_ready(out)
-    rtf_offline = (time.perf_counter() - start) / reps / 2.0
+        jax.block_until_ready(out)
+        reps = 20
+        start = time.perf_counter()
+        for _ in range(reps):
+            out = offline_jit(variables, jnp.asarray(audio))
+        jax.block_until_ready(out)
+        seconds = (time.perf_counter() - start) / reps
+        return seconds / 2.0, _program_flops(compiled)
+
+    rtf_offline, offline_flops = time_offline(cfg.network)
+    rtf_offline_noker, _ = time_offline(
+        dataclasses.replace(cfg.network, use_pallas_gru="never")
+    )
+
+    # ---- MFU: program FLOPs / (measured seconds * chip peak)
+    device = jax.devices()[0]
+    peak = _peak_flops(device)
+    stream_flops = _program_flops(
+        sd._step.lower(variables, sd.init_state(), block).compile()
+    )
+    n_frames = 2 * sample_rate // hop
+    mfu_stream = (
+        stream_flops / (median_step * peak) if stream_flops else None
+    )
+    mfu_offline = (
+        offline_flops / (rtf_offline * 2.0 * peak) if offline_flops else None
+    )
 
     target = 0.05
     result = {
@@ -147,9 +209,74 @@ def main():
         "chunked8_rtf": round(rtf_chunked, 6),
         "streams_per_chip": streams_per_chip,
         "offline_rtf": round(rtf_offline, 6),
-        "device": str(jax.devices()[0]),
+        "offline_rtf_no_pallas_gru": round(rtf_offline_noker, 6),
+        "pallas_gru_offline_speedup": round(rtf_offline_noker / rtf_offline, 3),
+        "device": str(device),
+        "device_kind": getattr(device, "device_kind", "unknown"),
+        "peak_bf16_tflops": peak / 1e12,
     }
+    if stream_flops:
+        result["flops_per_frame"] = round(stream_flops)
+        result["mfu_stream"] = round(mfu_stream, 6)
+    if offline_flops:
+        result["offline_gflops_per_clip"] = round(offline_flops / 1e9, 3)
+        result["mfu_offline"] = round(mfu_offline, 6)
+        result["flops_per_frame_offline"] = round(offline_flops / n_frames)
+
+    result.update(_quality_fields())
     print(json.dumps(result))
+
+
+def _quality_fields() -> dict:
+    """Held-out quality metrics (VERDICT round-1 item #2).
+
+    Preferred path: recompute live from the committed trained artifact
+    (artifacts/TRUNet-proc/pretrained.npz) on a deterministic 16-file
+    held-out testset — self-verifying. Fallback: merge the numbers from a
+    committed QUALITY.json. Returns {} when neither exists.
+    """
+    repo = os.path.dirname(os.path.abspath(__file__))
+    artifact_dir = os.path.join(repo, "artifacts", "TRUNet-proc")
+    try:
+        if os.path.exists(os.path.join(artifact_dir, "pretrained.npz")):
+            from tinyrecurrentunet_tpu.config import load_config
+            from tinyrecurrentunet_tpu.infer.quality import (
+                denoiser_from_pretrained,
+                run_quality_eval,
+            )
+
+            cfg = load_config(os.path.join(repo, "config", "proc16k.json"))
+            denoiser = denoiser_from_pretrained(cfg, artifact_dir)
+            result = run_quality_eval(
+                cfg, denoiser, num_files=16, enhanced_dir=None
+            )
+            return {
+                "quality_si_sdr_db": round(result["enhanced"]["si_sdr"], 3),
+                "quality_si_sdr_noisy_db": round(
+                    result["noisy_baseline"]["si_sdr"], 3
+                ),
+                "quality_si_sdr_gain_db": round(
+                    result["improvement"]["si_sdr"], 3
+                ),
+                "quality_stoi": round(result["enhanced"]["stoi"], 4),
+                "quality_stoi_noisy": round(
+                    result["noisy_baseline"]["stoi"], 4
+                ),
+                "quality_testset": "procedural-dns-layout-16f",
+            }
+        qpath = os.path.join(repo, "QUALITY.json")
+        if os.path.exists(qpath):
+            with open(qpath) as f:
+                q = json.load(f)
+            return {
+                "quality_si_sdr_db": round(q["enhanced"]["si_sdr"], 3),
+                "quality_si_sdr_gain_db": round(q["improvement"]["si_sdr"], 3),
+                "quality_stoi": round(q["enhanced"]["stoi"], 4),
+                "quality_testset": "procedural-dns-layout (QUALITY.json)",
+            }
+    except Exception as e:  # never break the headline line
+        print(f"quality fields skipped: {e}", file=sys.stderr)
+    return {}
 
 
 if __name__ == "__main__":

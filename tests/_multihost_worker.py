@@ -1,0 +1,88 @@
+"""Worker for the two-process multi-host test (run via subprocess).
+
+Each process: jax.distributed.initialize over localhost, 1 local CPU device
+-> 2 global devices, per-process loader shard, one SPMD train step on the
+global mesh. Prints `LOSS <value>` so the parent can assert both processes
+agree — the multi-host analog of the reference's NCCL launcher + allreduce
+(reference `distributed.py:48-58,150-189`).
+
+Usage: python _multihost_worker.py <coordinator> <num_processes> <pid>
+"""
+
+import sys
+
+import numpy as np
+
+
+def main():
+    coordinator, num_processes, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=pid,
+    )
+    assert jax.process_count() == num_processes
+    assert jax.device_count() == num_processes * jax.local_device_count()
+
+    from tinyrecurrentunet_tpu.config import (
+        Config,
+        FeaturizerConfig,
+        LossConfig,
+        OptimizationConfig,
+        STFTLossConfig,
+        TrainConfig,
+        TrainsetConfig,
+    )
+    from tinyrecurrentunet_tpu.data import SyntheticPairDataset
+    from tinyrecurrentunet_tpu.data.loader import DataLoader
+    from tinyrecurrentunet_tpu.parallel.mesh import make_mesh, shard_batch
+    from tinyrecurrentunet_tpu.train.state import create_train_state
+    from tinyrecurrentunet_tpu.train.step import make_train_step
+
+    cfg = Config(
+        featurizer=FeaturizerConfig(sample_rate=16000),
+        train=TrainConfig(
+            optimization=OptimizationConfig(n_iters=100),
+            loss_config=LossConfig(
+                stft_config=STFTLossConfig(
+                    fft_sizes=(512,), hop_sizes=(120,), win_lengths=(240,)
+                )
+            ),
+        ),
+        trainset=TrainsetConfig(sample_rate=16000, crop_length_sec=0.5),
+    )
+
+    n_global = jax.device_count()
+    mesh = make_mesh(n_global)
+
+    # Per-process loader shard: global batch = n_global rows, each process
+    # loads its own rows (DistributedSampler semantics).
+    ds = SyntheticPairDataset(num_items=n_global, length_sec=0.5, sample_rate=16000)
+    loader = DataLoader(
+        ds,
+        batch_size=n_global // num_processes,
+        shuffle=False,
+        drop_last=True,
+        num_shards=num_processes,
+        shard_index=pid,
+    )
+    clean, noisy, ids = next(iter(loader))
+    assert clean.shape[0] == n_global // num_processes, clean.shape
+
+    state = create_train_state(cfg)
+    step = make_train_step(cfg, mesh=mesh)
+    clean_s, noisy_s = shard_batch(mesh, (clean.astype(np.float32), noisy.astype(np.float32)))
+    assert clean_s.shape[0] == n_global, clean_s.shape
+    state, metrics = step(state, clean_s, noisy_s)
+    jax.block_until_ready(metrics["loss"])
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss)
+    print(f"LOSS {loss:.10f}", flush=True)
+    jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Procedural corpus (data/procgen.py): generators, SNR math, DNS layout.
+
+The procedural corpus is the quality-parity stand-in for DNS-2020
+(reference `dataset.py:301-390`, `eval.py:16-37`); these tests pin down the
+properties the training/eval pipelines rely on: determinism, fixed shapes,
+calibrated SNR, and a testset tree the unmodified DNS pipeline can walk.
+"""
+
+import numpy as np
+import pytest
+
+from tinyrecurrentunet_tpu.data.procgen import (
+    NOISE_KINDS,
+    ProceduralSpeechDataset,
+    materialize_dns_testset,
+    mix_at_snr,
+    synth_noise,
+    synth_speech,
+)
+
+SR = 16000
+
+
+class TestGenerators:
+    def test_speech_shape_and_level(self):
+        rng = np.random.default_rng(0)
+        s = synth_speech(rng, 2 * SR, SR)
+        assert s.shape == (2 * SR,) and s.dtype == np.float32
+        rms = float(np.sqrt(np.mean(s**2)))
+        assert 0.01 < rms < 0.3
+        assert float(np.abs(s).max()) < 4.0
+
+    def test_speech_is_speech_shaped(self):
+        """Energy concentrates below 4 kHz (formants), and the envelope is
+        modulated (syllables) — the two properties PCEN/masking exploit."""
+        rng = np.random.default_rng(1)
+        s = synth_speech(rng, 4 * SR, SR).astype(np.float64)
+        spec = np.abs(np.fft.rfft(s))
+        f = np.fft.rfftfreq(len(s), 1 / SR)
+        low = np.sum(spec[f < 4000] ** 2)
+        assert low / np.sum(spec**2) > 0.75
+        # envelope modulation: frame energies vary by > 10x
+        frames = s[: len(s) // 1600 * 1600].reshape(-1, 1600)
+        e = np.sqrt(np.mean(frames**2, axis=1))
+        assert e.max() > 10 * max(np.median(e), 1e-6) or e.min() < 0.1 * e.max()
+
+    @pytest.mark.parametrize("kind", NOISE_KINDS)
+    def test_noise_kinds(self, kind):
+        rng = np.random.default_rng(2)
+        n = synth_noise(rng, SR, SR, kind)
+        assert n.shape == (SR,) and n.dtype == np.float32
+        assert abs(float(np.sqrt(np.mean(n**2))) - 1.0) < 1e-3
+
+    def test_unknown_noise_kind_raises(self):
+        with pytest.raises(ValueError):
+            synth_noise(np.random.default_rng(0), SR, SR, "nope")
+
+    def test_mix_at_snr_is_calibrated(self):
+        rng = np.random.default_rng(3)
+        clean = synth_speech(rng, 2 * SR, SR)
+        noise = synth_noise(rng, 2 * SR, SR, "white")
+        for target in (0.0, 10.0, 20.0):
+            noisy = mix_at_snr(clean, noise, target)
+            resid = noisy.astype(np.float64) - clean
+            got = 10 * np.log10(np.mean(clean.astype(np.float64) ** 2) / np.mean(resid**2))
+            assert abs(got - target) < 0.1
+
+
+class TestProceduralDataset:
+    def test_interface_and_determinism(self):
+        ds = ProceduralSpeechDataset(num_items=4, length_sec=1.0, sample_rate=SR)
+        assert len(ds) == 4
+        c1, n1, fid = ds.get(2, np.random.default_rng(9))
+        c2, n2, _ = ds.get(2, np.random.default_rng(11))  # rng must not matter
+        assert fid == "proc_2"
+        assert np.array_equal(c1, c2) and np.array_equal(n1, n2)
+        assert c1.shape == (SR,) and n1.shape == (SR,)
+
+    def test_cache_matches_uncached(self):
+        a = ProceduralSpeechDataset(num_items=2, length_sec=0.5, cache=True)
+        b = ProceduralSpeechDataset(num_items=2, length_sec=0.5, cache=False)
+        ca, na, _ = a.get(1)
+        ca2, na2, _ = a.get(1)  # cached second read
+        cb, nb, _ = b.get(1)
+        assert np.array_equal(ca, cb) and np.array_equal(na, nb)
+        assert np.array_equal(ca, ca2) and np.array_equal(na, na2)
+
+    def test_seeds_disjoint(self):
+        a = ProceduralSpeechDataset(num_items=1, length_sec=0.5, seed=0)
+        b = ProceduralSpeechDataset(num_items=1, length_sec=0.5, seed=6_000_000)
+        assert not np.array_equal(a.get(0)[0], b.get(0)[0])
+
+    def test_noise_kind_coverage(self):
+        """Across consecutive indices every noise kind appears (round-robin)."""
+        ds = ProceduralSpeechDataset(num_items=len(NOISE_KINDS), length_sec=0.5)
+        diffs = []
+        for i in range(len(ds)):
+            c, n, _ = ds.get(i)
+            diffs.append(n - c)
+        # all residuals distinct (different generators)
+        for i in range(len(diffs)):
+            for j in range(i + 1, len(diffs)):
+                assert not np.allclose(diffs[i], diffs[j])
+
+
+class TestMaterializedTestset:
+    def test_dns_layout_walks_through_pipeline(self, tmp_path):
+        """The generated tree satisfies the DNS loader, the eval pairing,
+        and the noisy-baseline scoring — end to end, no model."""
+        root = materialize_dns_testset(
+            str(tmp_path / "ts"), num_files=3, length_sec=1.0, sample_rate=SR
+        )
+        import os
+
+        from tinyrecurrentunet_tpu.config import TrainsetConfig
+        from tinyrecurrentunet_tpu.data.dataset import CleanNoisyPairDataset
+        from tinyrecurrentunet_tpu.infer.evaluate import evaluate_dns
+
+        clean_names = sorted(os.listdir(os.path.join(root, "clean")))
+        assert clean_names == [f"clean_fileid_{i}.wav" for i in range(3)]
+
+        cfg = TrainsetConfig(root=root, sample_rate=SR, crop_length_sec=0)
+        ds = CleanNoisyPairDataset(cfg, subset="testing")
+        assert len(ds) == 3
+        clean, noisy, fid = ds.get(0, np.random.default_rng(0))
+        assert clean.shape == noisy.shape == (SR,)
+        assert fid.endswith("_0.wav")
+
+        result = evaluate_dns(root, target="noisy", sample_rate=SR)
+        assert result["num_files"] == 3
+        # noisy baseline: SI-SDR equals the mixing SNR ballpark (0..20 dB)
+        assert -5.0 < result["si_sdr"] < 25.0
+        assert 0.0 < result["stoi"] <= 1.0
+
+    def test_materialize_deterministic(self, tmp_path):
+        from tinyrecurrentunet_tpu.data.audio_io import read_wav
+
+        a = materialize_dns_testset(
+            str(tmp_path / "a"), num_files=1, length_sec=0.5, sample_rate=SR
+        )
+        b = materialize_dns_testset(
+            str(tmp_path / "b"), num_files=1, length_sec=0.5, sample_rate=SR
+        )
+        import os
+
+        for sub in ("clean", "noisy"):
+            fa = sorted(os.listdir(os.path.join(a, sub)))[0]
+            fb = sorted(os.listdir(os.path.join(b, sub)))[0]
+            assert fa == fb
+            wa, _ = read_wav(os.path.join(a, sub, fa))
+            wb, _ = read_wav(os.path.join(b, sub, fb))
+            assert np.array_equal(wa, wb)

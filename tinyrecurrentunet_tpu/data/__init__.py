@@ -9,3 +9,7 @@ from tinyrecurrentunet_tpu.data.dataset import (  # noqa: F401
     load_clean_noisy_dataloader,
 )
 from tinyrecurrentunet_tpu.data.loader import DataLoader  # noqa: F401
+from tinyrecurrentunet_tpu.data.procgen import (  # noqa: F401
+    ProceduralSpeechDataset,
+    materialize_dns_testset,
+)

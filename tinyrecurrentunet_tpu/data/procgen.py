@@ -1,0 +1,336 @@
+"""Procedural speech corpus: formant-synthesized speech + DNS-like noises.
+
+The reference trains on DNS-2020 clean speech mixed with noise files
+(reference `dataset.py:301-390`, `README.md:35-40`) and evaluates on the DNS
+no-reverb testset (reference `eval.py:16-37`). That corpus is not available
+in this environment, so this module constructs the richest stand-in it can:
+
+- **Clean speech**: classic source-filter formant synthesis — a glottal
+  pulse train (drifting f0, jitter/shimmer) through parallel formant
+  resonators for voiced segments, shaped noise bursts for fricatives,
+  syllabic rhythm with pauses. Not intelligible speech, but it has speech's
+  spectro-temporal structure: harmonic stacks, formant trajectories,
+  4-8 Hz envelope modulation, silences.
+- **Noise bank**: stationary (white/pink/band-limited/hum) and
+  non-stationary (babble, keyboard clicks, amplitude-modulated) generators,
+  mixed at DNS-like SNRs (default 0..20 dB, the DNS-2020 training range).
+
+Everything is deterministic per (seed, index) so the corpus behaves like
+files on disk: training runs, held-out testsets, and evaluations are
+exactly reproducible without shipping WAVs in the repo.
+
+`materialize_dns_testset` writes a DNS-layout `clean/` + `noisy/` tree
+(`..._fileid_{i}.wav` naming, reference `eval.py:22-26`) so the full
+`denoise_directory -> evaluate_dns` pipeline runs unmodified on it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+from scipy.signal import lfilter
+
+from tinyrecurrentunet_tpu.data.augment import highpass_biquad, lowpass_biquad
+
+NOISE_KINDS = (
+    "white",
+    "pink",
+    "band",
+    "hum",
+    "babble",
+    "clicks",
+    "modulated",
+)
+
+
+def _resonator(x: np.ndarray, sr: int, freq: float, bw: float) -> np.ndarray:
+    """Two-pole resonator (formant) filter."""
+    r = np.exp(-np.pi * bw / sr)
+    theta = 2.0 * np.pi * freq / sr
+    a = np.array([1.0, -2.0 * r * np.cos(theta), r * r])
+    b = np.array([1.0 - r])
+    return lfilter(b, a, x)
+
+
+def _envelope(n: int, sr: int, attack_s: float = 0.015, release_s: float = 0.03):
+    """Raised-cosine attack/release envelope."""
+    env = np.ones(n)
+    a = min(int(attack_s * sr), n // 2)
+    r = min(int(release_s * sr), n // 2)
+    if a > 0:
+        env[:a] = 0.5 * (1 - np.cos(np.pi * np.arange(a) / a))
+    if r > 0:
+        env[n - r :] = 0.5 * (1 + np.cos(np.pi * np.arange(r) / r))
+    return env
+
+
+# Vowel-ish formant targets (F1, F2, F3) in Hz — rough adult ranges.
+_VOWELS = np.array(
+    [
+        (730, 1090, 2440),  # /a/
+        (270, 2290, 3010),  # /i/
+        (300, 870, 2240),  # /u/
+        (530, 1840, 2480),  # /e/
+        (570, 840, 2410),  # /o/
+        (660, 1720, 2410),  # /ae/
+        (490, 1350, 1690),  # /er/
+    ],
+    dtype=np.float64,
+)
+
+
+def synth_speech(rng: np.random.Generator, length: int, sr: int) -> np.ndarray:
+    """Speech-like waveform: syllables of voiced vowels / fricatives / pauses."""
+    out = np.zeros(length, np.float64)
+    f0_base = rng.uniform(90.0, 240.0)
+    pos = 0
+    while pos < length:
+        u = rng.uniform()
+        if u < 0.55:  # voiced syllable
+            dur = int(rng.uniform(0.10, 0.30) * sr)
+            dur = min(dur, length - pos)
+            if dur < int(0.02 * sr):
+                break
+            t = np.arange(dur) / sr
+            # f0 contour: base + declination + vibrato-ish wander + jitter
+            f0 = f0_base * (
+                1.0
+                + rng.uniform(-0.15, 0.25)
+                - 0.1 * t / max(t[-1], 1e-6)
+                + 0.03 * np.sin(2 * np.pi * rng.uniform(4, 7) * t)
+            )
+            phase = np.cumsum(f0) / sr
+            # glottal source: impulse train with shimmer
+            pulses = np.zeros(dur)
+            marks = np.nonzero(np.diff(np.floor(phase)) > 0)[0]
+            pulses[marks] = 1.0 + 0.1 * rng.standard_normal(len(marks))
+            # glottal pulse shaping: one-pole lowpass twice (-12 dB/oct)
+            g = np.exp(-2.0 * np.pi * 250.0 / sr)
+            src = lfilter([1 - g], [1, -g], pulses)
+            src = lfilter([1 - g], [1, -g], src)
+            # formant filter: interpolate between two vowels across the segment
+            v0 = _VOWELS[rng.integers(len(_VOWELS))]
+            v1 = _VOWELS[rng.integers(len(_VOWELS))]
+            seg = np.zeros(dur)
+            # piecewise-constant formant glide (8 subsegments)
+            n_sub = 8
+            edges = np.linspace(0, dur, n_sub + 1).astype(int)
+            for k in range(n_sub):
+                lo, hi = edges[k], edges[k + 1]
+                if hi <= lo:
+                    continue
+                frac = (k + 0.5) / n_sub
+                formants = v0 * (1 - frac) + v1 * frac
+                sub = np.zeros(hi - lo)
+                for fi, (ff, amp, bw) in enumerate(
+                    zip(formants, (1.0, 0.63, 0.35), (90.0, 120.0, 160.0))
+                ):
+                    ff = min(ff, 0.45 * sr)
+                    sub += amp * _resonator(src[lo:hi], sr, ff, bw)
+                seg[lo:hi] = sub
+            # radiation: first difference brightens the spectrum
+            seg = np.diff(seg, prepend=0.0)
+            # voiced segments carry most of speech's energy: normalize each
+            # to a target level (the glottal low-pass otherwise leaves them
+            # ~30 dB below the fricatives, inverting speech's balance)
+            rms = np.sqrt(np.mean(seg**2) + 1e-12)
+            seg *= rng.uniform(0.10, 0.20) / max(rms, 1e-9)
+            seg *= _envelope(dur, sr)
+            out[pos : pos + dur] += seg
+            pos += dur
+        elif u < 0.75:  # unvoiced fricative burst
+            dur = int(rng.uniform(0.05, 0.15) * sr)
+            dur = min(dur, length - pos)
+            if dur < int(0.01 * sr):
+                break
+            noise = rng.standard_normal(dur)
+            center = rng.uniform(2000.0, min(6000.0, 0.42 * sr))
+            seg = _resonator(noise, sr, center, rng.uniform(500.0, 1500.0))
+            # fricatives sit ~12-20 dB below the voiced level
+            rms = np.sqrt(np.mean(seg**2) + 1e-12)
+            seg *= rng.uniform(0.015, 0.04) / max(rms, 1e-9)
+            seg *= _envelope(dur, sr)
+            out[pos : pos + dur] += seg
+            pos += dur
+        else:  # pause
+            pos += int(rng.uniform(0.05, 0.25) * sr)
+    rms = np.sqrt(np.mean(out**2) + 1e-12)
+    out *= rng.uniform(0.05, 0.12) / max(rms, 1e-6)
+    return out.astype(np.float32)
+
+
+def synth_noise(
+    rng: np.random.Generator, length: int, sr: int, kind: str | None = None
+) -> np.ndarray:
+    """One noise waveform of the requested kind, unit-ish RMS."""
+    if kind is None:
+        kind = NOISE_KINDS[rng.integers(len(NOISE_KINDS))]
+    if kind == "white":
+        x = rng.standard_normal(length)
+    elif kind == "pink":
+        spec = np.fft.rfft(rng.standard_normal(length))
+        f = np.maximum(np.fft.rfftfreq(length, 1 / sr), 1.0)
+        x = np.fft.irfft(spec / np.sqrt(f), n=length)
+    elif kind == "band":
+        center = rng.uniform(300.0, min(6000.0, 0.42 * sr))
+        x = _resonator(rng.standard_normal(length), sr, center, rng.uniform(100.0, 2000.0))
+    elif kind == "hum":
+        base = rng.choice([50.0, 60.0])
+        t = np.arange(length) / sr
+        x = np.zeros(length)
+        for h in range(1, 6):
+            x += rng.uniform(0.2, 1.0) / h * np.sin(
+                2 * np.pi * base * h * t + rng.uniform(0, 2 * np.pi)
+            )
+        x += 0.05 * rng.standard_normal(length)
+    elif kind == "babble":
+        x = np.zeros(length)
+        for _ in range(5):
+            x += synth_speech(rng, length, sr).astype(np.float64)
+    elif kind == "clicks":
+        x = np.zeros(length)
+        n_clicks = max(int(length / sr * rng.uniform(3, 12)), 1)
+        burst_len = int(0.008 * sr)
+        burst_t = np.arange(burst_len)
+        for _ in range(n_clicks):
+            p = rng.integers(0, max(length - burst_len, 1))
+            freq = rng.uniform(1500.0, min(5000.0, 0.4 * sr))
+            burst = np.exp(-burst_t / (0.002 * sr)) * np.sin(
+                2 * np.pi * freq / sr * burst_t
+            )
+            x[p : p + burst_len] += rng.uniform(0.5, 2.0) * burst
+        x += 0.02 * rng.standard_normal(length)
+    elif kind == "modulated":
+        env_f = rng.uniform(0.5, 4.0)
+        t = np.arange(length) / sr
+        env = 0.3 + 0.7 * 0.5 * (1 + np.sin(2 * np.pi * env_f * t + rng.uniform(0, 2 * np.pi)))
+        x = rng.standard_normal(length) * env
+        x = lowpass_biquad(x, sr, min(4000.0, 0.4 * sr)).astype(np.float64)
+    else:
+        raise ValueError(f"unknown noise kind {kind!r}")
+    rms = np.sqrt(np.mean(x**2) + 1e-12)
+    return (x / max(rms, 1e-9)).astype(np.float32)
+
+
+def mix_at_snr(
+    clean: np.ndarray, noise: np.ndarray, snr_db: float
+) -> np.ndarray:
+    """Scale `noise` so the mixture has the requested SNR, return the mix."""
+    p_clean = float(np.mean(clean.astype(np.float64) ** 2)) + 1e-12
+    p_noise = float(np.mean(noise.astype(np.float64) ** 2)) + 1e-12
+    scale = np.sqrt(p_clean / (p_noise * 10.0 ** (snr_db / 10.0)))
+    return (clean + scale * noise).astype(np.float32)
+
+
+class ProceduralSpeechDataset:
+    """Clean/noisy pairs of procedural speech + DNS-like noise.
+
+    Deterministic per (seed, index) — behaves like a fixed corpus on disk.
+    Interface matches the training loop's dataset contract:
+    __len__ and get(i, rng) -> (clean, noisy, fileid).
+    """
+
+    def __init__(
+        self,
+        num_items: int = 2000,
+        length_sec: float = 2.0,
+        sample_rate: int = 16000,
+        snr_range: tuple[float, float] = (0.0, 20.0),
+        seed: int = 0,
+        cache: bool = True,
+    ):
+        self.num_items = num_items
+        self.length = int(length_sec * sample_rate)
+        self.sample_rate = sample_rate
+        self.snr_range = snr_range
+        self.seed = seed
+        # Items are deterministic, so caching is exactly "a corpus on disk";
+        # synthesis costs ~20 ms/item, which would otherwise dominate the
+        # single-CPU host side of every training epoch after the first.
+        self._cache: dict[int, tuple] | None = {} if cache else None
+
+    def __len__(self):
+        return self.num_items
+
+    def get(self, index: int, rng=None):
+        if self._cache is not None and index in self._cache:
+            return self._cache[index]
+        item_rng = np.random.default_rng((self.seed, index))
+        clean = synth_speech(item_rng, self.length, self.sample_rate)
+        kind = NOISE_KINDS[index % len(NOISE_KINDS)]
+        noise = synth_noise(item_rng, self.length, self.sample_rate, kind)
+        snr = item_rng.uniform(*self.snr_range)
+        noisy = mix_at_snr(clean, noise, snr)
+        item = (clean, noisy, f"proc_{index}")
+        if self._cache is not None:
+            self._cache[index] = item
+        return item
+
+
+def materialize_dns_testset(
+    out_dir: str,
+    num_files: int = 100,
+    length_sec: float = 4.0,
+    sample_rate: int = 16000,
+    snr_range: tuple[float, float] = (0.0, 20.0),
+    seed: int = 7_000_000,
+):
+    """Write a DNS no-reverb-layout held-out testset: `clean/` + `noisy/`.
+
+    Naming follows the DNS convention the eval pipeline matches on
+    (reference `eval.py:22-26`, `dataset.py:330-345`): both files end in
+    `fileid_{i}.wav` and the noisy name records the SNR. The seed is far
+    from the training seeds so the testset is held out by construction.
+    """
+    clean_dir = os.path.join(out_dir, "clean")
+    noisy_dir = os.path.join(out_dir, "noisy")
+    os.makedirs(clean_dir, exist_ok=True)
+    os.makedirs(noisy_dir, exist_ok=True)
+    from tinyrecurrentunet_tpu.data.audio_io import write_wav
+
+    length = int(length_sec * sample_rate)
+    for i in range(num_files):
+        rng = np.random.default_rng((seed, i))
+        clean = synth_speech(rng, length, sample_rate)
+        kind = NOISE_KINDS[i % len(NOISE_KINDS)]
+        noise = synth_noise(rng, length, sample_rate, kind)
+        snr = rng.uniform(*snr_range)
+        noisy = mix_at_snr(clean, noise, snr)
+        write_wav(
+            os.path.join(clean_dir, f"clean_fileid_{i}.wav"), clean, sample_rate
+        )
+        write_wav(
+            os.path.join(
+                noisy_dir, f"noisy_{kind}_snr{snr:.0f}db_fileid_{i}.wav"
+            ),
+            noisy,
+            sample_rate,
+        )
+    return out_dir
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--out", required=True, help="output testset root")
+    parser.add_argument("--num_files", type=int, default=100)
+    parser.add_argument("--length_sec", type=float, default=4.0)
+    parser.add_argument("--sample_rate", type=int, default=16000)
+    parser.add_argument("--snr_low", type=float, default=0.0)
+    parser.add_argument("--snr_high", type=float, default=20.0)
+    parser.add_argument("--seed", type=int, default=7_000_000)
+    args = parser.parse_args()
+    materialize_dns_testset(
+        args.out,
+        num_files=args.num_files,
+        length_sec=args.length_sec,
+        sample_rate=args.sample_rate,
+        snr_range=(args.snr_low, args.snr_high),
+        seed=args.seed,
+    )
+    print(f"wrote {args.num_files} clean/noisy pairs under {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -14,14 +14,23 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tinyrecurrentunet_tpu.config import Config, load_config
+from tinyrecurrentunet_tpu.config import Config, NetworkConfig, load_config
 from tinyrecurrentunet_tpu.models import TRUNet
+
+
+def _export_network_cfg(cfg: Config) -> NetworkConfig:
+    """Network config for export graphs: Pallas kernels OFF — a Pallas
+    custom-call cannot lower to TF/TFLite (the converter fails with
+    'Failed to convert the given Jax function to hlo'), and the lax.scan
+    path is the same math (equivalence-tested in tests/test_ops.py)."""
+    return dataclasses.replace(cfg.network, use_pallas_gru="never")
 
 
 def _forward_fn(model: TRUNet, variables: dict):
@@ -46,7 +55,7 @@ def export_stablehlo(cfg: Config, variables: dict, out_dir: str) -> dict:
     Returns {name: path}."""
     from jax import export as jexport
 
-    model = TRUNet(cfg.network)
+    model = TRUNet(_export_network_cfg(cfg))
     ex = cfg.onnx_config
     freqs = cfg.featurizer.num_freqs
     os.makedirs(out_dir, exist_ok=True)
@@ -89,7 +98,7 @@ def export_tflite(
     (requires a representative-dataset iterable of feature tensors)."""
     import tensorflow as tf
 
-    model = TRUNet(cfg.network)
+    model = TRUNet(_export_network_cfg(cfg))
     ex = cfg.onnx_config
     freqs = cfg.featurizer.num_freqs
     fwd = _forward_fn(model, variables)
@@ -127,7 +136,7 @@ def export_tflite_streaming(
     (reference README.md:6)."""
     import tensorflow as tf
 
-    model = TRUNet(cfg.network)
+    model = TRUNet(_export_network_cfg(cfg))
     freqs = cfg.featurizer.num_freqs
     frame = np.zeros((1, freqs, cfg.network.input_size), np.float32)
     fb = model.bottleneck_freqs(freqs)
@@ -163,7 +172,7 @@ def tflite_run(path: str, feats: np.ndarray) -> np.ndarray:
 def parity_report(cfg: Config, variables: dict, tflite_path: str, feats) -> dict:
     """Max-abs / relative error of the TFLite engine vs the jitted model
     (the numerical-match assertion the reference never had, SURVEY.md §4)."""
-    model = TRUNet(cfg.network)
+    model = TRUNet(_export_network_cfg(cfg))
     ref = np.asarray(_forward_fn(model, variables)(jnp.asarray(feats)))
     got = tflite_run(tflite_path, feats)
     max_abs = float(np.abs(ref - got).max())
@@ -205,28 +214,37 @@ def main():
     print(f"int8 param pack: {qpath} ({size / 1024:.1f} KB)")
 
     if not args.skip_tflite:
+        ex = cfg.onnx_config
+        freqs = cfg.featurizer.num_freqs
+        rng = np.random.default_rng(0)
+        rep = [
+            rng.standard_normal((ex.time_step, freqs, ex.channels)).astype(
+                np.float32
+            )
+            * 0.3
+            for _ in range(4)
+        ]
+        # Each artifact independently: a converter failure on one graph must
+        # not silently drop the other.
         try:
-            ex = cfg.onnx_config
-            freqs = cfg.featurizer.num_freqs
-            rng = np.random.default_rng(0)
-            rep = [
-                rng.standard_normal((ex.time_step, freqs, ex.channels)).astype(
-                    np.float32
-                )
-                * 0.3
-                for _ in range(4)
-            ]
             path = export_tflite(cfg, variables, args.out, args.int8, rep)
             report = parity_report(cfg, variables, path, rep[0])
             print(f"tflite: {path} ({os.path.getsize(path) / 1024:.1f} KB), "
                   f"parity: {report}")
+        except ImportError:
+            print("tensorflow not available; skipped TFLite export")
+        except Exception as e:  # noqa: BLE001 - converter failures
+            print(f"tflite full-clip export failed: {e}")
+        try:
             spath = export_tflite_streaming(cfg, variables, args.out, args.int8)
             print(
                 f"tflite streaming step: {spath} "
                 f"({os.path.getsize(spath) / 1024:.1f} KB)"
             )
         except ImportError:
-            print("tensorflow not available; skipped TFLite export")
+            pass
+        except Exception as e:  # noqa: BLE001
+            print(f"tflite streaming export failed: {e}")
 
 
 if __name__ == "__main__":

@@ -51,26 +51,99 @@ def dequantize_params(quantized: dict, target_params: Any):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+_TRQ2_MAGIC = b"TRQ2"
+
+
 def save_quantized(path: str, params: Any, batch_stats: Any | None = None) -> int:
-    """Write a .trq zip pack; returns its size in bytes."""
+    """Write a .trq pack; returns its size in bytes.
+
+    Format (TRQ2, VERDICT round-1 item #6 — the round-1 zip-of-npy container
+    spent ~45 KB on per-tensor npy/zip headers): one zlib'd JSON manifest
+    (tensor names, shapes, offsets, fp32 scales) followed by a single raw
+    little-endian payload of all int8 weight bytes then all fp32 batch-stat
+    bytes; the payload is zlib-deflated when that wins. 381,472 params land
+    at ~360 KB — the reference's published size (`README.md:6`).
+    """
+    import json
+    import struct
+    import zlib
+
     quantized = quantize_params(params)
+    manifest = {"tensors": [], "stats": [], "payload": "raw"}
+    chunks = []
+    offset = 0
+    for name, (q, scale) in quantized.items():
+        raw = np.ascontiguousarray(q, "<i1").tobytes()
+        manifest["tensors"].append(
+            {
+                "n": name,
+                "s": list(q.shape),
+                "o": offset,
+                "scale": float(scale),
+            }
+        )
+        chunks.append(raw)
+        offset += len(raw)
+    if batch_stats is not None:
+        for name, arr in _flatten(batch_stats).items():
+            raw = np.ascontiguousarray(arr, "<f4").tobytes()
+            manifest["stats"].append({"n": name, "s": list(arr.shape), "o": offset})
+            chunks.append(raw)
+            offset += len(raw)
+    payload = b"".join(chunks)
+    deflated = zlib.compress(payload, 9)
+    if len(deflated) < len(payload):
+        manifest["payload"] = "zlib"
+        payload = deflated
+    header = zlib.compress(
+        json.dumps(manifest, separators=(",", ":")).encode(), 9
+    )
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for name, (q, scale) in quantized.items():
-            buf = io.BytesIO()
-            np.save(buf, q)
-            zf.writestr(f"q/{name}", buf.getvalue())
-            zf.writestr(f"scale/{name}", np.float32(scale).tobytes())
-        if batch_stats is not None:
-            for name, arr in _flatten(batch_stats).items():
-                buf = io.BytesIO()
-                np.save(buf, arr.astype(np.float32))
-                zf.writestr(f"stats/{name}", buf.getvalue())
+    with open(path, "wb") as f:
+        f.write(_TRQ2_MAGIC)
+        f.write(struct.pack("<I", len(header)))
+        f.write(header)
+        f.write(payload)
     return os.path.getsize(path)
 
 
 def load_quantized(path: str):
-    """-> (quantized dict, batch_stats dict-of-arrays by name)."""
+    """-> (quantized dict name -> (int8, scale), batch_stats dict-by-name).
+
+    Reads TRQ2 packs and the legacy round-1 zip-of-npy format."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic != _TRQ2_MAGIC:
+        return _load_quantized_v1(path)
+
+    import json
+    import struct
+    import zlib
+
+    with open(path, "rb") as f:
+        f.read(4)
+        (header_len,) = struct.unpack("<I", f.read(4))
+        manifest = json.loads(zlib.decompress(f.read(header_len)))
+        payload = f.read()
+    if manifest["payload"] == "zlib":
+        payload = zlib.decompress(payload)
+    quantized = {}
+    for t in manifest["tensors"]:
+        shape = tuple(t["s"])
+        n = int(np.prod(shape)) if shape else 1
+        arr = np.frombuffer(payload, "<i1", count=n, offset=t["o"]).reshape(shape)
+        quantized[t["n"]] = (arr, np.float32(t["scale"]))
+    stats = {}
+    for t in manifest["stats"]:
+        shape = tuple(t["s"])
+        n = int(np.prod(shape)) if shape else 1
+        stats[t["n"]] = np.frombuffer(
+            payload, "<f4", count=n, offset=t["o"]
+        ).reshape(shape)
+    return quantized, stats
+
+
+def _load_quantized_v1(path: str):
     quantized: dict = {}
     stats: dict = {}
     with zipfile.ZipFile(path) as zf:

@@ -58,11 +58,15 @@ class Denoiser:
         state = create_train_state(cfg)
         selector = ckpt_iter if ckpt_iter is not None else cfg.train.log.ckpt_iter
         if selector == "pretrained":
-            from tinyrecurrentunet_tpu.train.checkpoint import load_pretrained_params
+            from tinyrecurrentunet_tpu.train.checkpoint import (
+                load_pretrained_variables,
+            )
 
             directory = os.path.join(cfg.train.log.directory, cfg.train.exp_path)
-            params = load_pretrained_params(directory, state.params)
-            state = state.replace(params=params)
+            params, batch_stats = load_pretrained_variables(
+                directory, state.params, state.batch_stats
+            )
+            state = state.replace(params=params, batch_stats=batch_stats)
             step = "pretrained"
         else:
             mgr = CheckpointManager(cfg.train.log.directory, cfg.train.exp_path)

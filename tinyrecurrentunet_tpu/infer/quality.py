@@ -1,0 +1,164 @@
+"""Quality-parity pipeline: held-out testset -> denoise -> metrics artifact.
+
+BASELINE.md's second target is PESQ/SI-SDR quality parity on DNS-2020
+(reference `eval.py:16-37`). DNS-2020 is not available in this environment,
+so this module runs the SAME pipeline end to end on the held-out procedural
+testset (`data/procgen.py`): materialize a DNS-layout clean/noisy tree,
+denoise every noisy file through the full featurize->TRUNet->PHM->iSTFT
+graph, score SI-SDR + STOI (+PESQ when the wheel exists) against clean via
+`evaluate_dns`, and compare against the unprocessed-noisy baseline. A
+future round with real DNS-2020 on disk only has to change the testset
+path.
+
+Writes QUALITY.json (consumed by bench.py's headline line) with both the
+enhanced and noisy-baseline numbers so the improvement is self-evident.
+
+Usage:
+    python -m tinyrecurrentunet_tpu.infer.quality -c config/proc16k.json \
+        [--pretrained artifacts/TRUNet-proc] [--ckpt_iter max] \
+        [--num_files 60] [--out QUALITY.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+
+import numpy as np
+
+from tinyrecurrentunet_tpu.config import Config, load_config
+from tinyrecurrentunet_tpu.data.audio_io import read_wav, write_wav
+from tinyrecurrentunet_tpu.data.procgen import materialize_dns_testset
+from tinyrecurrentunet_tpu.infer.denoise import Denoiser
+from tinyrecurrentunet_tpu.infer.evaluate import evaluate_dns
+
+# Far away from every training seed (training corpus uses seed 0, validation
+# 6_000_000) so the testset is held out by construction.
+QUALITY_TESTSET_SEED = 7_000_000
+
+
+def denoiser_from_pretrained(cfg: Config, directory: str) -> Denoiser:
+    """Build a Denoiser from a standalone pretrained.npz directory (the
+    committed quality artifact), without touching the checkpoint tree."""
+    from tinyrecurrentunet_tpu.train.checkpoint import load_pretrained_variables
+    from tinyrecurrentunet_tpu.train.state import create_train_state
+
+    state = create_train_state(cfg)
+    params, batch_stats = load_pretrained_variables(
+        directory, state.params, state.batch_stats
+    )
+    denoiser = Denoiser(cfg, {"params": params, "batch_stats": batch_stats})
+    denoiser.ckpt_step = "pretrained"
+    return denoiser
+
+
+def run_quality_eval(
+    cfg: Config,
+    denoiser: Denoiser,
+    testset_dir: str | None = None,
+    num_files: int = 60,
+    length_sec: float = 4.0,
+    seed: int = QUALITY_TESTSET_SEED,
+    out_json: str | None = None,
+    enhanced_dir: str | None = None,
+) -> dict:
+    """Materialize (if needed) + denoise + score. Returns the metrics dict."""
+    sr = cfg.trainset.sample_rate
+    if testset_dir is None:
+        testset_dir = os.path.join(
+            tempfile.gettempdir(), f"trunet_quality_testset_{sr}_{num_files}_{seed}"
+        )
+    clean_dir = os.path.join(testset_dir, "clean")
+    if (
+        not os.path.isdir(clean_dir)
+        or len(os.listdir(clean_dir)) < num_files
+    ):
+        materialize_dns_testset(
+            testset_dir,
+            num_files=num_files,
+            length_sec=length_sec,
+            sample_rate=sr,
+            seed=seed,
+        )
+
+    if enhanced_dir is None:
+        enhanced_dir = os.path.join(
+            cfg.gen.output_directory, cfg.train.exp_path, "quality_enhanced"
+        )
+    os.makedirs(enhanced_dir, exist_ok=True)
+    noisy_dir = os.path.join(testset_dir, "noisy")
+    for name in sorted(os.listdir(noisy_dir)):
+        if not name.endswith(".wav"):
+            continue
+        noisy, _ = read_wav(os.path.join(noisy_dir, name))
+        enhanced = denoiser(noisy)
+        fileid = name[:-4].rsplit("_", 1)[-1]
+        write_wav(
+            os.path.join(enhanced_dir, f"enhanced_fileid_{fileid}.wav"),
+            enhanced,
+            sr,
+        )
+
+    scored = evaluate_dns(testset_dir, enhanced_dir, sample_rate=sr)
+    baseline = evaluate_dns(testset_dir, target="noisy", sample_rate=sr)
+    result = {
+        "testset": {
+            "kind": "procedural-dns-layout",
+            "num_files": num_files,
+            "length_sec": length_sec,
+            "sample_rate": sr,
+            "seed": seed,
+            "snr_range_db": [0.0, 20.0],
+        },
+        "enhanced": {k: v for k, v in scored.items() if isinstance(v, float)},
+        "noisy_baseline": {
+            k: v for k, v in baseline.items() if isinstance(v, float)
+        },
+    }
+    result["improvement"] = {
+        k: result["enhanced"][k] - result["noisy_baseline"][k]
+        for k in result["enhanced"]
+        if k in result["noisy_baseline"]
+    }
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(result, f, indent=2)
+    return result
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", required=True)
+    parser.add_argument(
+        "--pretrained",
+        default=None,
+        help="directory with pretrained.npz (overrides --ckpt_iter)",
+    )
+    parser.add_argument("--ckpt_iter", default=None, help="max | iteration")
+    parser.add_argument("--num_files", type=int, default=60)
+    parser.add_argument("--length_sec", type=float, default=4.0)
+    parser.add_argument("--testset", default=None, help="reuse/create testset here")
+    parser.add_argument("--out", default="QUALITY.json")
+    args = parser.parse_args()
+    cfg = load_config(args.config)
+
+    if args.pretrained:
+        denoiser = denoiser_from_pretrained(cfg, args.pretrained)
+    else:
+        denoiser = Denoiser.from_checkpoint(cfg, args.ckpt_iter)
+
+    result = run_quality_eval(
+        cfg,
+        denoiser,
+        testset_dir=args.testset,
+        num_files=args.num_files,
+        length_sec=args.length_sec,
+        out_json=args.out,
+    )
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

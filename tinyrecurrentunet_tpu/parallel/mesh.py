@@ -63,6 +63,20 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Place a host-local batch pytree onto the mesh, sharded on dim 0."""
+    """Place a host-local batch pytree onto the mesh, sharded on dim 0.
+
+    Single-process: device_put the whole batch sharded across local devices.
+    Multi-process (after `jax.distributed.initialize`): each process holds
+    only ITS rows; assemble the global array from the per-process shards —
+    the SPMD analog of the reference's DistributedSampler + per-rank batches
+    (reference `dataset.py:406-408`, `train.py:124-125`).
+    """
     sharding = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+    def put(x):
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return jax.tree.map(put, batch)

@@ -93,26 +93,60 @@ class CheckpointManager:
         self._mgr.close()
 
 
-def save_pretrained_params(directory: str, params: Any):
-    """Standalone params-only export (the reference's 'pretrained' selector,
-    `denoise.py:63-65`) as an npz of flattened leaves."""
+def save_pretrained_params(directory: str, params: Any, batch_stats: Any = None):
+    """Standalone weights export (the reference's 'pretrained' selector,
+    `denoise.py:63-65`) as an npz of flattened leaves.
+
+    When `batch_stats` is given, the BN running statistics are stored too
+    (under a `batch_stats/` prefix) — inference-time BN uses running stats,
+    so a params-only artifact would silently denoise with init-time
+    (zero-mean/unit-var) normalizers.
+    """
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     arrays = {
-        "/".join(str(k) for k in path): np.asarray(v) for path, v in flat
+        "params/" + "/".join(str(k) for k in path): np.asarray(v)
+        for path, v in flat
     }
+    if batch_stats is not None:
+        flat_bs = jax.tree_util.tree_flatten_with_path(batch_stats)[0]
+        arrays.update(
+            {
+                "batch_stats/" + "/".join(str(k) for k in path): np.asarray(v)
+                for path, v in flat_bs
+            }
+        )
     os.makedirs(directory, exist_ok=True)
     np.savez(os.path.join(directory, "pretrained.npz"), **arrays)
 
 
-def load_pretrained_params(directory: str, target_params: Any):
-    """Load a params-only npz back into `target_params`' structure."""
-    data = np.load(os.path.join(directory, "pretrained.npz"))
-    flat, treedef = jax.tree_util.tree_flatten_with_path(target_params)
+def _load_section(data, prefix: str, target: Any):
+    flat, treedef = jax.tree_util.tree_flatten_with_path(target)
     leaves = []
     for path, v in flat:
-        key = "/".join(str(k) for k in path)
+        key = prefix + "/".join(str(k) for k in path)
+        if key not in data and prefix == "params/":
+            # legacy (round-1) artifacts stored params unprefixed
+            key = "/".join(str(k) for k in path)
         arr = data[key]
         if arr.shape != v.shape:
             raise ValueError(f"shape mismatch for {key}: {arr.shape} vs {v.shape}")
         leaves.append(arr)
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def load_pretrained_params(directory: str, target_params: Any):
+    """Load the params section back into `target_params`' structure."""
+    data = np.load(os.path.join(directory, "pretrained.npz"))
+    return _load_section(data, "params/", target_params)
+
+
+def load_pretrained_variables(directory: str, target_params: Any, target_batch_stats: Any):
+    """Load (params, batch_stats); batch_stats falls back to the target's
+    values when the artifact predates batch-stats storage."""
+    data = np.load(os.path.join(directory, "pretrained.npz"))
+    params = _load_section(data, "params/", target_params)
+    if any(k.startswith("batch_stats/") for k in data.files):
+        batch_stats = _load_section(data, "batch_stats/", target_batch_stats)
+    else:
+        batch_stats = target_batch_stats
+    return params, batch_stats

@@ -58,9 +58,12 @@ def train(
         dataset = CleanNoisyPairDataset(cfg.trainset, subset="training")
     num_devices = 1 if mesh is None else mesh.devices.size
     batch_size = opt.batch_size_per_device * num_devices
+    # Each process loads only its shard's rows; shard_batch assembles the
+    # global (batch_size,) array from the per-process pieces.
+    local_batch = batch_size // jax.process_count()
     loader = DataLoader(
         dataset,
-        batch_size=batch_size,
+        batch_size=local_batch,
         shuffle=True,
         drop_last=True,
         num_shards=jax.process_count(),
@@ -201,6 +204,15 @@ def main():
         help="size of the synthetic training set",
     )
     parser.add_argument(
+        "--procedural",
+        action="store_true",
+        help="train on the procedural speech+noise corpus (quality story)",
+    )
+    parser.add_argument(
+        "--procedural_items", type=int, default=4000,
+        help="size of the procedural training corpus",
+    )
+    parser.add_argument(
         "--data_parallel",
         action="store_true",
         help="use all local devices via a data mesh",
@@ -216,7 +228,21 @@ def main():
     cfg = load_config(args.config)
     dataset = None
     valid_dataset = None
-    if args.synthetic:
+    if args.procedural:
+        from tinyrecurrentunet_tpu.data import ProceduralSpeechDataset
+
+        dataset = ProceduralSpeechDataset(
+            num_items=args.procedural_items,
+            length_sec=cfg.trainset.crop_length_sec,
+            sample_rate=cfg.trainset.sample_rate,
+        )
+        valid_dataset = ProceduralSpeechDataset(
+            num_items=32,
+            length_sec=cfg.trainset.crop_length_sec,
+            sample_rate=cfg.trainset.sample_rate,
+            seed=6_000_000,
+        )
+    elif args.synthetic:
         dataset = SyntheticPairDataset(
             num_items=args.synthetic_items,
             length_sec=cfg.trainset.crop_length_sec,

@@ -207,6 +207,19 @@ def main():
     paths = export_stablehlo(cfg, variables, args.out)
     print(f"stablehlo: {paths}")
 
+    try:
+        from tinyrecurrentunet_tpu.export.onnx_export import export_onnx
+
+        report = export_onnx(
+            cfg, jax.device_get(variables), os.path.join(args.out, "trunet.onnx")
+        )
+        print(
+            f"onnx: {report['path']} ({report['size_bytes'] / 1024:.1f} KB), "
+            f"parity max_abs={report['max_abs_err']:.2e}"
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"onnx export failed: {e}")
+
     from tinyrecurrentunet_tpu.export.quantize import save_quantized
 
     qpath = os.path.join(args.out, "trunet_int8.trq")

@@ -1,0 +1,370 @@
+"""ONNX export via a weight-identical torch mirror of TRUNet.
+
+The reference exports ONNX with torch.onnx.export on a (751, 4, 257) dummy,
+names input/output, constant folding on (reference `onnx.py:31-44`). This
+environment has torch but NOT the `onnx`/`onnxruntime` wheels, so:
+
+- The model graph is rebuilt as a torch.nn.Module (`TorchTRUNet`) whose
+  weights are copied tensor-for-tensor from the JAX variables. Numerical
+  parity vs the JAX forward is asserted by `onnx_parity_report` (two
+  independent implementations agreeing to ~1e-5 is itself a model test).
+- torch.onnx.export (the TorchScript exporter) serializes the ModelProto
+  through its C++ proto writer, which does not need the `onnx` package —
+  except for one post-pass, `_add_onnxscript_fn`, which unconditionally
+  imports `onnx` yet is an identity for graphs with no custom onnxscript
+  functions (see torch/onnx/_internal/torchscript_exporter/
+  onnx_proto_utils.py:177-207: it only extends model_proto.functions when
+  custom-domain ops are found; this graph is all standard ONNX ops).
+  `_patch_missing_onnx` replaces that pass with the identity when `onnx`
+  is absent.
+- The reference's ORT graph-optimization pass (`onnx.py:46-55`) cannot run
+  without onnxruntime; `optimize_onnx` reports that honestly instead of
+  silently skipping.
+
+Layout parity with the reference: the ONNX graph takes (T, C, F) — the
+reference's export config (`config/tiny.json:57-61`) — and returns
+(T, 2C, F).
+
+Usage:
+    python -m tinyrecurrentunet_tpu.export.onnx_export -c config/tiny16k.json \
+        --out exp/export [--random_init | --ckpt_iter max] [--opset 13]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from tinyrecurrentunet_tpu.config import Config, NetworkConfig, load_config
+
+
+def _patch_missing_onnx() -> bool:
+    """Make torch.onnx.export work without the `onnx` wheel. Returns True
+    if the patch was applied (i.e. `onnx` is missing)."""
+    try:
+        import onnx  # noqa: F401
+
+        return False
+    except ImportError:
+        pass
+    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+
+    def _identity_add_onnxscript_fn(model_bytes, custom_opsets):
+        # Identical to the real pass for graphs with no custom onnxscript
+        # functions: it would parse the proto, find nothing, and return
+        # model_bytes unchanged.
+        return model_bytes
+
+    onnx_proto_utils._add_onnxscript_fn = _identity_add_onnxscript_fn
+    return True
+
+
+def build_torch_mirror(cfg: Config, variables: dict):
+    """-> TorchTRUNet (eval mode) with weights copied from `variables`."""
+    import torch
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def t(x):
+        return torch.from_numpy(np.asarray(x, np.float32).copy())
+
+    class TorchTRUNet(torch.nn.Module):
+        """Weight-identical torch rebuild of models/trunet.py, (T, C, F) I/O.
+
+        BatchNorms run as frozen affine transforms from the running stats
+        (inference semantics; flax eps=1e-5 == torch default).
+        """
+
+        def __init__(self, net: NetworkConfig):
+            super().__init__()
+            self.net = net
+            self.eps = 1e-5
+            # register every tensor as a buffer so export sees constants
+            self._bufs = {}
+            for tree, prefix in ((params, "p"), (stats, "s")):
+                import jax
+
+                flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+                for path, v in flat:
+                    name = "/".join(str(k.key) for k in path)
+                    key = f"{prefix}:{name}"
+                    safe = key.replace("/", "_").replace(":", "_")
+                    self.register_buffer(safe, t(v))
+                    self._bufs[key] = safe
+            # GRUs as real torch modules so ONNX gets GRU ops
+            self.fgru = torch.nn.GRU(
+                net.encoder[-1][0], net.fgru_hidden, batch_first=True,
+                bidirectional=True,
+            )
+            self.tgru = torch.nn.GRU(
+                net.fgru_out, net.tgru_hidden, batch_first=True
+            )
+            with torch.no_grad():
+                g = "GRUBlock_0/GRU_0"
+                self.fgru.weight_ih_l0.copy_(t(self._leaf(params, g, "wi_fwd")).T)
+                self.fgru.weight_hh_l0.copy_(t(self._leaf(params, g, "wh_fwd")).T)
+                self.fgru.bias_ih_l0.copy_(t(self._leaf(params, g, "bi_fwd")))
+                self.fgru.bias_hh_l0.copy_(t(self._leaf(params, g, "bh_fwd")))
+                self.fgru.weight_ih_l0_reverse.copy_(t(self._leaf(params, g, "wi_bwd")).T)
+                self.fgru.weight_hh_l0_reverse.copy_(t(self._leaf(params, g, "wh_bwd")).T)
+                self.fgru.bias_ih_l0_reverse.copy_(t(self._leaf(params, g, "bi_bwd")))
+                self.fgru.bias_hh_l0_reverse.copy_(t(self._leaf(params, g, "bh_bwd")))
+                g = "GRUBlock_1/GRU_0"
+                self.tgru.weight_ih_l0.copy_(t(self._leaf(params, g, "wi_fwd")).T)
+                self.tgru.weight_hh_l0.copy_(t(self._leaf(params, g, "wh_fwd")).T)
+                self.tgru.bias_ih_l0.copy_(t(self._leaf(params, g, "bi_fwd")))
+                self.tgru.bias_hh_l0.copy_(t(self._leaf(params, g, "bh_fwd")))
+
+        @staticmethod
+        def _leaf(tree, path: str, leaf: str):
+            node = tree
+            for part in path.split("/"):
+                node = node[part]
+            return node[leaf]
+
+        def _b(self, kind: str, name: str):
+            return getattr(self, self._bufs[f"{kind}:{name}"])
+
+        # ---- primitive mirrors -------------------------------------------
+        def _bn(self, x, scope: str, channel_dim: int):
+            """Frozen BatchNorm from running stats; x any layout."""
+            shape = [1] * x.dim()
+            shape[channel_dim] = -1
+            mean = self._b("s", f"{scope}/mean").reshape(shape)
+            var = self._b("s", f"{scope}/var").reshape(shape)
+            scale = self._b("p", f"{scope}/scale").reshape(shape)
+            bias = self._b("p", f"{scope}/bias").reshape(shape)
+            return (x - mean) * torch.rsqrt(var + self.eps) * scale + bias
+
+        def _pointwise(self, x, scope: str):
+            """flax Dense (in,out) on channels == 1x1 conv on (T, C, F)."""
+            w = self._b("p", f"{scope}/kernel")  # (in, out)
+            b = self._b("p", f"{scope}/bias")
+            return torch.nn.functional.conv1d(x, w.T.unsqueeze(-1), b)
+
+        def _conv(self, x, scope: str, stride: int, padding: int, groups: int = 1):
+            w = self._b("p", f"{scope}/kernel")  # (k, Cin/groups, Cout)
+            b = self._b("p", f"{scope}/bias")
+            return torch.nn.functional.conv1d(
+                x, w.permute(2, 1, 0), b, stride=stride, padding=padding,
+                groups=groups,
+            )
+
+        def _depthwise(self, x, scope: str, stride: int, padding: int):
+            w = self._b("p", f"{scope}/depthwise_kernel")  # (k, 1, C)
+            b = self._b("p", f"{scope}/depthwise_bias")
+            return torch.nn.functional.conv1d(
+                x, w.permute(2, 1, 0), b, stride=stride, padding=padding,
+                groups=w.shape[-1],
+            )
+
+        def _tr_conv(self, x, scope: str, stride: int, padding: int):
+            """ops/conv.py conv_transpose1d == torch conv_transpose1d with
+            the kernel flipped along taps and in/out transposed:
+            w_torch[cin, cout, j] = w_jax[k-1-j, cin, cout]."""
+            w = self._b("p", f"{scope}/tr_kernel")  # (k, Cin, Cout)
+            b = self._b("p", f"{scope}/tr_bias")
+            w_t = torch.flip(w, dims=(0,)).permute(1, 2, 0)
+            return torch.nn.functional.conv_transpose1d(
+                x, w_t, b, stride=stride, padding=padding
+            )
+
+        @staticmethod
+        def _pad_or_crop(x, target: int):
+            """ops/conv.py pad_or_crop on the last (frequency) dim."""
+            cur = x.shape[-1]
+            diff = target - cur
+            if diff == 0:
+                return x
+            front, back = diff // 2, diff - diff // 2
+            if diff > 0:
+                return torch.nn.functional.pad(x, (front, back))
+            start = -front
+            return x[..., start : start + target]
+
+        # ---- forward ------------------------------------------------------
+        def forward(self, x):  # x: (T, C_in, F)
+            net = self.net
+            freqs = x.shape[-1]
+            skips = []
+            z = x
+            for i, (feat, k, s) in enumerate(net.encoder):
+                if i == 0:
+                    z = torch.relu(
+                        self._conv(z, "StandardConv1d_0/Conv_0", s, s // 2)
+                    )
+                else:
+                    scope = f"DepthwiseSeparableConv1d_{i - 1}"
+                    z = self._pointwise(z, f"{scope}/Dense_0")
+                    z = torch.relu(self._bn(z, f"{scope}/BatchNorm_0", 1))
+                    z = self._depthwise(z, scope, s, k // 2)
+                    z = torch.relu(self._bn(z, f"{scope}/BatchNorm_1", 1))
+                skips.append(z)
+
+            # FGRU over frequency (batch = T frames)
+            zz = z.permute(0, 2, 1)  # (T, Fb, C)
+            out, _ = self.fgru(zz)  # (T, Fb, 2*fgru_hidden)
+            w = self._b("p", "GRUBlock_0/Dense_0/kernel")
+            b = self._b("p", "GRUBlock_0/Dense_0/bias")
+            out = out @ w + b
+            out = torch.relu(self._bn(out, "GRUBlock_0/BatchNorm_0", 2))
+
+            # TGRU over time (batch = Fb bins)
+            tg = out.permute(1, 0, 2)  # (Fb, T, C)
+            tg, _ = self.tgru(tg)  # (Fb, T, tgru_hidden)
+            w = self._b("p", "GRUBlock_1/Dense_0/kernel")
+            b = self._b("p", "GRUBlock_1/Dense_0/bias")
+            tg = tg @ w + b
+            tg = torch.relu(self._bn(tg, "GRUBlock_1/BatchNorm_0", 2))
+            z = tg.permute(1, 2, 0)  # (T, C, Fb)
+
+            # decoder with skip-concat (channel dim), pad-to-match on freq
+            dec = net.decoder
+            scope = "TrCNNBlock_0"
+            z = self._pointwise(z, f"{scope}/Dense_0")
+            z = torch.relu(self._bn(z, f"{scope}/BatchNorm_0", 1))
+            z = self._tr_conv(z, scope, dec[0][2], dec[0][2] // 2)
+            z = torch.relu(self._bn(z, f"{scope}/BatchNorm_1", 1))
+
+            dec_skips = skips[-2::-1]
+            for idx, ((feat, k, s), skip) in enumerate(
+                zip(dec[1:], dec_skips), start=1
+            ):
+                z = self._pad_or_crop(z, skip.shape[-1])
+                z = torch.cat([z, skip], dim=1)
+                scope = f"TrCNNBlock_{idx}"
+                is_last = idx == len(dec) - 1
+                z = self._pointwise(z, f"{scope}/Dense_0")
+                z = torch.relu(self._bn(z, f"{scope}/BatchNorm_0", 1))
+                z = self._tr_conv(z, scope, s, s // 2)
+                if not is_last:
+                    z = torch.relu(self._bn(z, f"{scope}/BatchNorm_1", 1))
+
+            return self._pad_or_crop(z, freqs)  # (T, 2*C_in, F)
+
+    import torch
+
+    return TorchTRUNet(cfg.network).eval()
+
+
+def onnx_parity_report(cfg: Config, variables: dict, feats_tcf: np.ndarray) -> dict:
+    """Max-abs/rel error: torch mirror vs the JAX model on (T, C, F) feats."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import torch
+
+    from tinyrecurrentunet_tpu.models import TRUNet
+
+    model = TRUNet(dataclasses.replace(cfg.network, use_pallas_gru="never"))
+    feats_tfc = jnp.asarray(np.transpose(feats_tcf, (0, 2, 1)))
+    ref, _ = model.apply(variables, feats_tfc)
+    ref = np.transpose(np.asarray(ref), (0, 2, 1))
+
+    mirror = build_torch_mirror(cfg, variables)
+    with torch.no_grad():
+        got = mirror(torch.from_numpy(feats_tcf)).numpy()
+    max_abs = float(np.abs(ref - got).max())
+    scale = float(np.abs(ref).max()) + 1e-12
+    return {"max_abs_err": max_abs, "max_rel_err": max_abs / scale}
+
+
+def export_onnx(
+    cfg: Config, variables: dict, out_path: str, opset: int = 13
+) -> dict:
+    """Write trunet.onnx; returns {path, size_bytes, parity...}."""
+    import torch
+
+    _patch_missing_onnx()
+    mirror = build_torch_mirror(cfg, variables)
+    ex = cfg.onnx_config
+    freqs = cfg.featurizer.num_freqs
+    dummy = torch.zeros(ex.time_step, ex.channels, freqs)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    torch.onnx.export(
+        mirror,
+        (dummy,),
+        out_path,
+        opset_version=opset,
+        input_names=["input"],
+        output_names=["output"],
+        do_constant_folding=True,
+        dynamo=False,
+    )
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((ex.time_step, ex.channels, freqs)).astype(
+        np.float32
+    ) * 0.3
+    report = onnx_parity_report(cfg, variables, feats)
+    return {
+        "path": out_path,
+        "size_bytes": os.path.getsize(out_path),
+        "opset": opset,
+        **report,
+    }
+
+
+def optimize_onnx(path: str):
+    """The reference runs an ORT graph-optimization pass (`onnx.py:46-55`).
+    onnxruntime is not installed in this environment; raise with the exact
+    remedy instead of pretending."""
+    try:
+        import onnxruntime  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "onnxruntime is not installed in this environment; the ORT "
+            "ORT_ENABLE_ALL graph-optimization pass (reference onnx.py:46-55) "
+            "needs it. Install onnxruntime and call optimize_onnx again."
+        ) from e
+    import onnxruntime as ort
+
+    opts = ort.SessionOptions()
+    opts.graph_optimization_level = ort.GraphOptimizationLevel.ORT_ENABLE_ALL
+    opts.optimized_model_filepath = path.replace(".onnx", "_optimized.onnx")
+    ort.InferenceSession(path, opts)
+    return opts.optimized_model_filepath
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", required=True)
+    parser.add_argument("--out", default="exp/export")
+    parser.add_argument("--ckpt_iter", default=None)
+    parser.add_argument("--random_init", action="store_true")
+    parser.add_argument("--opset", type=int, default=13)
+    args = parser.parse_args()
+    cfg = load_config(args.config)
+
+    if args.random_init:
+        from tinyrecurrentunet_tpu.train.state import create_train_state
+
+        state = create_train_state(cfg)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+    else:
+        from tinyrecurrentunet_tpu.infer.denoise import Denoiser
+
+        variables = Denoiser.from_checkpoint(cfg, args.ckpt_iter).variables
+
+    import jax
+
+    variables = jax.device_get(variables)
+    report = export_onnx(
+        cfg, variables, os.path.join(args.out, "trunet.onnx"), args.opset
+    )
+    print(
+        f"onnx: {report['path']} ({report['size_bytes'] / 1024:.1f} KB, "
+        f"opset {report['opset']}), parity vs JAX: "
+        f"max_abs={report['max_abs_err']:.2e} max_rel={report['max_rel_err']:.2e}"
+    )
+    try:
+        opt_path = optimize_onnx(report["path"])
+        print(f"ORT-optimized: {opt_path}")
+    except ImportError as e:
+        print(f"ORT optimization unavailable: {e}")
+
+
+if __name__ == "__main__":
+    main()

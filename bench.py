@@ -180,8 +180,10 @@ def main():
         return seconds / 2.0, _program_flops(compiled)
 
     rtf_offline, offline_flops = time_offline(cfg.network)
-    rtf_offline_noker, _ = time_offline(
-        dataclasses.replace(cfg.network, use_pallas_gru="never")
+    # A/B the Pallas GRU kernel explicitly ("auto" resolves to lax.scan per
+    # the measured end-to-end numbers — see models/blocks.py GRU._scan).
+    rtf_offline_pallas, _ = time_offline(
+        dataclasses.replace(cfg.network, use_pallas_gru="always")
     )
 
     # ---- MFU: program FLOPs / (measured seconds * chip peak)
@@ -209,8 +211,8 @@ def main():
         "chunked8_rtf": round(rtf_chunked, 6),
         "streams_per_chip": streams_per_chip,
         "offline_rtf": round(rtf_offline, 6),
-        "offline_rtf_no_pallas_gru": round(rtf_offline_noker, 6),
-        "pallas_gru_offline_speedup": round(rtf_offline_noker / rtf_offline, 3),
+        "offline_rtf_pallas_gru": round(rtf_offline_pallas, 6),
+        "pallas_gru_offline_speedup": round(rtf_offline / rtf_offline_pallas, 3),
         "device": str(device),
         "device_kind": getattr(device, "device_kind", "unknown"),
         "peak_bf16_tflops": peak / 1e12,

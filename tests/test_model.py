@@ -210,7 +210,7 @@ class TestPHM:
         mix_spec = fz.spectrogram(
             jnp.asarray(rng.standard_normal(9 * 128).astype(np.float32) * 0.1)
         )
-        for source in ("mixture", "network"):
+        for source in ("bsigmoid", "mixture", "network"):
             ncfg = NetworkConfig(phm_source=source)
 
             def f(o):
@@ -231,6 +231,46 @@ class TestPHM:
         spec = denoised_spec_from_output(out, fz, source="network")
         assert spec.shape == (4, 257)
         assert spec.dtype == jnp.complex64
+
+    def test_bsigmoid_head_is_expressive(self, rng):
+        """The decisive head property (models/phm.py `bsigmoid_complex_mask`
+        docstring): directly optimizing the HEAD INPUTS must be able to
+        denoise well past the noisy input. The legacy phase-difference
+        reading ("mixture" source) fails this — its trained models plateau
+        below the noisy baseline — so this is the regression test that keeps
+        the default head trainable."""
+        import optax
+
+        from tinyrecurrentunet_tpu.infer.metrics import si_sdr
+
+        sr = 16000
+        n = sr // 2
+        t = np.arange(n) / sr
+        clean = (0.1 * np.sin(2 * np.pi * 220 * t) * (1 + 0.5 * np.sin(2 * np.pi * 4 * t))).astype(np.float32)
+        noisy = clean + 0.05 * rng.standard_normal(n).astype(np.float32)
+        fz = Featurizer(FeaturizerConfig())
+        spec = fz.spectrogram(jnp.asarray(noisy))
+        ncfg = NetworkConfig(phm_source="bsigmoid")
+        out = jnp.zeros(spec.shape + (8,))
+
+        def loss(o):
+            den = denoise_output_to_audio(
+                o, fz, ncfg, length=n, mixture_spec=spec
+            )
+            return jnp.mean(jnp.abs(den - jnp.asarray(clean)))
+
+        vg = jax.jit(jax.value_and_grad(loss))
+        opt = optax.adam(5e-2)
+        st = opt.init(out)
+        for _ in range(150):
+            _, g = vg(out)
+            up, st = opt.update(g, st)
+            out = optax.apply_updates(out, up)
+        den = denoise_output_to_audio(out, fz, ncfg, length=n, mixture_spec=spec)
+        gain = float(
+            si_sdr(np.asarray(den), clean) - si_sdr(noisy, clean)
+        )
+        assert gain > 3.0, f"head-input oracle gained only {gain:.2f} dB"
 
     def test_mixture_source_passes_observed_phase(self, rng):
         """With a fully-open mask (identical phase estimates -> mask 0.5),

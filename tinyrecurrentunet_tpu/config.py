@@ -99,18 +99,22 @@ class NetworkConfig:
         (64, 3, 1),
         (8, 5, 2),
     )
-    # Phase-aware mask sharpness (reference `phm.py:10`).
+    # Phase-aware mask sharpness (reference `phm.py:10`; only the legacy
+    # "mixture" source uses it).
     phm_beta: float = 0.5
-    # What the PHM mask multiplies (reference `phm.py:31-45`):
-    # "mixture": the OBSERVED noisy spectrogram's magnitude+phase (the
-    #   docstring's reading — "Mixture: spectrogram containing speech and
-    #   noise"); the network contributes the mixture/noise phase estimates
-    #   that shape the mask. Standard masking-based enhancement; converges
-    #   fast because the reconstruction reuses the observed phase.
+    # PHM head formulation (reference `phm.py:31-45`, defect D6):
+    # "bsigmoid" (default): the TRU-Net paper's phase-aware beta-sigmoid
+    #   mask — magnitude masks for speech/noise from bounded sigmoids,
+    #   phase from the law of cosines, network-estimated rotation sign
+    #   (models/phm.py `bsigmoid_complex_mask`). The only head whose
+    #   direct-optimization oracle beats the noisy input; use for training.
+    # "mixture": legacy round-1 reading — sigmoid(beta * phase-difference)
+    #   mask on the OBSERVED noisy spectrogram's magnitude+phase. Kept for
+    #   round-1 artifact compatibility; measurably inexpressive.
     # "network": magnitude+phase decoded from the network's own mixture
     #   feature set (the reading of the unfinished `util.py:221-234`);
     #   requires the net to learn full phase reconstruction.
-    phm_source: str = "mixture"
+    phm_source: str = "bsigmoid"
     # Compute dtype for the forward pass ("float32" or "bfloat16").
     compute_dtype: str = "float32"
     # Pallas GRU recurrence kernel for the inference path (ops/pallas_gru.py):

@@ -33,6 +33,43 @@ def phase_aware_mask(
     return jax.nn.sigmoid(beta * (phase_mixture - phase_estimated))
 
 
+def bsigmoid_complex_mask(
+    zeta_speech: jax.Array,
+    zeta_noise: jax.Array,
+    sign_logit: jax.Array,
+    mask_ceiling: float = 2.0,
+) -> jax.Array:
+    """The TRU-Net paper's phase-aware beta-sigmoid mask (PHM), finished.
+
+    The reference's `phm.py` names this mask but its body is unparseable
+    (defect D6, SURVEY.md §0.3); the geometry the paper (Choi et al. 2021,
+    "TRU-Net", the model the reference README cites) actually defines is:
+
+    - mixture = speech + noise, so the complex masks satisfy M_s + M_n = 1
+      and the magnitudes |X|, |M_s||X|, |M_n||X| form a TRIANGLE;
+    - magnitude masks come from bounded sigmoids, |M| = ceiling * sigmoid(z),
+      with ceiling > 1 so phase-cancelled bins (|S| > |X|) stay reachable;
+    - the speech-mask PHASE then follows from the law of cosines,
+      cos(theta) = (1 + |M_s|^2 - |M_n|^2) / (2 |M_s|),
+      with only its SIGN left for the network to estimate (tanh-soft here,
+      which also biases small rotations toward zero - the common case).
+
+    Unlike the reference reading (mask from a difference of decoded phases,
+    `phase_aware_mask` above), every quantity is driven by unbounded logits
+    through smooth monotone maps: direct head-input optimization reaches
+    ~48 dB SI-SDR where the phase-difference reading plateaus BELOW the
+    noisy input (-3 dB) - see tests/test_model.py PHM expressiveness test.
+
+    The 1e-6 floor inside the sqrt keeps the gradient finite where the
+    triangle degenerates (cos -> +/-1).
+    """
+    m_s = mask_ceiling * jax.nn.sigmoid(zeta_speech)
+    m_n = mask_ceiling * jax.nn.sigmoid(zeta_noise)
+    cos = jnp.clip((1.0 + m_s * m_s - m_n * m_n) / (2.0 * m_s + 1e-6), -1.0, 1.0)
+    sin = jnp.tanh(sign_logit) * jnp.sqrt(jnp.maximum(1.0 - cos * cos, 1e-6))
+    return jax.lax.complex(m_s * cos, m_s * sin)
+
+
 def split_feature_sets(output: jax.Array, num_channels: int):
     """Split the network output (..., 2*C) into (mixture, noise) sets of
     (..., C) each (reference `util.py:221-222`)."""
@@ -48,11 +85,19 @@ def denoised_spec_from_output(
 ) -> jax.Array:
     """Network output (..., T, F, 2*C) -> denoised complex spec (..., T, F).
 
-    source="mixture" (default): the mask multiplies the OBSERVED mixture
-    spectrogram (magnitude AND phase reused from `mixture_spec`) — the
-    reference PHM docstring's semantics (`phm.py:16-18`: "Mixture:
-    spectrogram containing speech and noise"). The network's two feature
-    sets contribute the mixture/noise phase estimates that shape the mask.
+    source="bsigmoid" (default): the paper-true PHM (`bsigmoid_complex_mask`
+    above). The network's output channels are mask PARAMETERS, not feature
+    estimates: channel 0 of the speech set is the speech-mask logit,
+    channel 0 of the noise set the noise-mask logit, channel 1 of the
+    speech set the phase-rotation sign logit. The complex mask multiplies
+    the observed mixture spectrogram.
+
+    source="mixture": the legacy round-1 reading — the mask multiplies the
+    OBSERVED mixture spectrogram (magnitude AND phase reused from
+    `mixture_spec`), shaped by sigmoid(beta * (phase difference)) of the two
+    sets' decoded phases (reference `phm.py:16-18` docstring semantics).
+    Kept for artifact compatibility; measurably inexpressive (see
+    `bsigmoid_complex_mask` docstring).
 
     source="network": magnitude and phase decoded from the network's own
     mixture feature set (the unfinished `util.py:221-234` reading) — the
@@ -60,6 +105,15 @@ def denoised_spec_from_output(
     """
     cfg: FeaturizerConfig = featurizer.config
     mix, noise = split_feature_sets(output, cfg.num_channels)
+
+    if source == "bsigmoid":
+        if mixture_spec is None:
+            raise ValueError("source='bsigmoid' requires mixture_spec")
+        mask = bsigmoid_complex_mask(
+            mix[..., 0], noise[..., 0], mix[..., 1], mask_ceiling=2.0
+        )
+        return mask * mixture_spec
+
     mix_ch = featurizer.split_channels(mix)
     noise_ch = featurizer.split_channels(noise)
 

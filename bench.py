@@ -179,9 +179,14 @@ def main():
         seconds = (time.perf_counter() - start) / reps
         return seconds / 2.0, _program_flops(compiled)
 
+    # End-to-end scan-vs-Pallas A/B (VERDICT round-1 #8): "auto" picks the
+    # kernel for the offline shape (models/blocks.py GRU._scan policy), and
+    # the explicit never/always pair records the clean speedup every round
+    # so the policy stays pinned to measured truth.
     rtf_offline, offline_flops = time_offline(cfg.network)
-    # A/B the Pallas GRU kernel explicitly ("auto" resolves to lax.scan per
-    # the measured end-to-end numbers — see models/blocks.py GRU._scan).
+    rtf_offline_scan, _ = time_offline(
+        dataclasses.replace(cfg.network, use_pallas_gru="never")
+    )
     rtf_offline_pallas, _ = time_offline(
         dataclasses.replace(cfg.network, use_pallas_gru="always")
     )
@@ -211,8 +216,11 @@ def main():
         "chunked8_rtf": round(rtf_chunked, 6),
         "streams_per_chip": streams_per_chip,
         "offline_rtf": round(rtf_offline, 6),
+        "offline_rtf_scan": round(rtf_offline_scan, 6),
         "offline_rtf_pallas_gru": round(rtf_offline_pallas, 6),
-        "pallas_gru_offline_speedup": round(rtf_offline / rtf_offline_pallas, 3),
+        "pallas_gru_offline_speedup": round(
+            rtf_offline_scan / rtf_offline_pallas, 3
+        ),
         "device": str(device),
         "device_kind": getattr(device, "device_kind", "unknown"),
         "peak_bf16_tflops": peak / 1e12,

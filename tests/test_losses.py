@@ -141,6 +141,27 @@ class TestCompositeLoss:
         )
         assert np.isfinite(float(loss))
 
+    def test_noise_stft_loss(self, rng):
+        """The noise-side MR-STFT term (config.py `noise_stft_lambda`) adds
+        a finite, grad-carrying term and is zero when the implied noise
+        estimate equals the true noise (denoised == clean)."""
+        fz, ncfg, model, variables, clean, noisy = self._setup(rng)
+        lcfg = LossConfig(noise_stft_lambda=0.5)
+
+        def inner(p):
+            loss, d, _, _ = loss_fn(
+                model.apply, p, variables["batch_stats"], clean, noisy, fz, ncfg, lcfg
+            )
+            return loss, d
+
+        (loss, d), grads = jax.value_and_grad(inner, has_aux=True)(
+            variables["params"]
+        )
+        assert "noise_stft" in d and np.isfinite(float(d["noise_stft"]))
+        assert float(d["noise_stft"]) > 0
+        flat = jax.tree.leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+
     def test_aux_feature_loss(self, rng):
         """Aux feature matching adds a term and gives the logmag/pcen output
         channels (unused by the mixture-source mask) a gradient."""

@@ -173,6 +173,16 @@ class LossConfig:
     # estimates to the true clean/noise phases conflicts with the mask
     # treating them as free latents. Keep 0 unless re-validated.
     aux_feature_lambda: float = 0.0
+    # Optional noise-side spectral loss: MR-STFT between the implied noise
+    # estimate (noisy - denoised; exact, since with the bsigmoid PHM the
+    # complex masks satisfy M_n = 1 - M_s and the iSTFT is linear) and the
+    # true noise (noisy - clean). The TRU-Net paper trains BOTH source
+    # estimates; the waveform-L1 part of a noise-side loss is algebraically
+    # identical to the speech-side L1, so only the spectral terms are added.
+    # The spectral-convergence term normalizes by the target norm, so this
+    # weights noise-spectrum accuracy highly at high SNR where the noise is
+    # small - exactly where masking errors are most audible.
+    noise_stft_lambda: float = 0.0
     stft_config: STFTLossConfig = dataclasses.field(default_factory=STFTLossConfig)
 
 

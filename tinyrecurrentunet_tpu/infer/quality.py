@@ -103,6 +103,41 @@ def run_quality_eval(
 
     scored = evaluate_dns(testset_dir, enhanced_dir, sample_rate=sr)
     baseline = evaluate_dns(testset_dir, target="noisy", sample_rate=sr)
+
+    # Per-noise-kind SI-SDR improvement: the noisy filenames record the
+    # generator kind (`noisy_{kind}_snr{..}db_fileid_{i}.wav`,
+    # data/procgen.py `materialize_dns_testset`), so the breakdown shows
+    # WHERE the model wins/loses, not just the aggregate.
+    from tinyrecurrentunet_tpu.infer.metrics import si_sdr
+
+    per_kind: dict[str, list[float]] = {}
+    for name in sorted(os.listdir(noisy_dir)):
+        if not name.endswith(".wav"):
+            continue
+        parts = name[:-4].split("_")
+        kind = parts[1] if len(parts) > 2 else "unknown"
+        fileid = parts[-1]
+        clean, _ = read_wav(
+            os.path.join(testset_dir, "clean", f"clean_fileid_{fileid}.wav")
+        )
+        noisy, _ = read_wav(os.path.join(noisy_dir, name))
+        enh, _ = read_wav(
+            os.path.join(enhanced_dir, f"enhanced_fileid_{fileid}.wav")
+        )
+        n = min(len(clean), len(noisy), len(enh))
+        delta = float(
+            si_sdr(enh[:n], clean[:n]) - si_sdr(noisy[:n], clean[:n])
+        )
+        per_kind.setdefault(kind, []).append(delta)
+    kind_summary = {
+        k: {
+            "si_sdr_gain_db": round(float(np.mean(v)), 3),
+            "min": round(float(np.min(v)), 3),
+            "max": round(float(np.max(v)), 3),
+            "n": len(v),
+        }
+        for k, v in sorted(per_kind.items())
+    }
     result = {
         "testset": {
             "kind": "procedural-dns-layout",
@@ -116,6 +151,7 @@ def run_quality_eval(
         "noisy_baseline": {
             k: v for k, v in baseline.items() if isinstance(v, float)
         },
+        "per_noise_kind": kind_summary,
     }
     result["improvement"] = {
         k: result["enhanced"][k] - result["noisy_baseline"][k]

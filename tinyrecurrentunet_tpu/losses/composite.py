@@ -94,6 +94,15 @@ def loss_fn(
         loss_dict["stft_sc"] = sc_loss * loss_config.stft_lambda
         loss_dict["stft_mag"] = mag_loss * loss_config.stft_lambda
 
+    # Optional noise-side spectral loss (config.py `noise_stft_lambda`):
+    # MR-STFT on the implied noise estimate vs the true noise. Reuses the
+    # same bank configuration as the speech-side term.
+    if loss_config.noise_stft_lambda > 0:
+        mrstft_n = MultiResolutionSTFTLoss(loss_config.stft_config)
+        n_sc, n_mag = mrstft_n(noisy_audio - denoised, noisy_audio - clean_audio)
+        loss += (n_sc + n_mag) * loss_config.noise_stft_lambda
+        loss_dict["noise_stft"] = (n_sc + n_mag) * loss_config.noise_stft_lambda
+
     # Optional cosine-similarity term (reference capability, D18 fixed).
     if loss_config.cossim_lambda > 0:
         cs = cossim_loss(denoised, clean_audio)

@@ -112,20 +112,28 @@ class GRU(nn.Module):
     trainable_kernel: bool = False  # use the custom-VJP kernel (training)
 
     def _scan(self, x, h0, params, reverse=False):
-        # Kernel selection: measured truth on TPU v5e (VERDICT round-1 #8,
-        # `ops/gru_bench.py` + end-to-end A/B in BENCH_r02):
-        # - In ISOLATION the Pallas kernel wins at every model shape
-        #   (1.15x at 16 rows x 8 steps up to 2.7x at 16 x 751 — it keeps
-        #   the carry in VMEM and skips per-step dispatch).
-        # - END TO END it LOSES (full offline pipeline: 0.43x at 16 kHz,
-        #   0.73x at 48 kHz): the custom call is a fusion barrier with
-        #   layout conversions on both sides, and that boundary costs more
-        #   than the kernel saves on a 381k-param model.
-        # So "auto" = lax.scan everywhere; the kernels stay available via
-        # "always" (and are numerically equivalence-tested in
-        # tests/test_pallas.py) for larger variants where the inner win
-        # outgrows the boundary cost.
-        if self.use_pallas == "always":
+        # Kernel selection is by SHAPE, from measured truth on TPU v5e
+        # (VERDICT round-1 #8; `ops/gru_bench.py` isolation microbench +
+        # bench.py's end-to-end scan-vs-kernel A/B, recorded in BENCH_r02):
+        # - narrow batch + long scan (inference TGRU, 16 rows x 751 steps):
+        #   the Pallas kernel keeps the carry in VMEM, wins ~2.7x isolated
+        #   and 1.5x END TO END on the uncontended chip (offline RTF
+        #   0.000466 vs 0.000703). An earlier A/B taken while a training
+        #   run shared the chip showed the kernel losing - contention
+        #   artifact, not kernel truth; bench.py now records the clean A/B
+        #   every round.
+        # - wide batch (training folds clips*frames into rows: 128-2000):
+        #   the VMEM budget forces tiny T-chunks and DMA bubbles dominate -
+        #   lax.scan with its MXU-wide per-step matmul wins ~11x.
+        # - short scans (streaming steps, length < 16): kernel only adds
+        #   compile time.
+        rows, length = x.shape[0], x.shape[1]
+        good_shape = rows <= 64 and length >= 16
+        if self.use_pallas == "always" or (
+            self.use_pallas == "auto"
+            and good_shape
+            and jax.default_backend() == "tpu"
+        ):
             interpret = jax.default_backend() != "tpu"
             if self.trainable_kernel:
                 from tinyrecurrentunet_tpu.ops.pallas_gru_vjp import (

@@ -27,12 +27,15 @@ train-quality:
 	python -m tinyrecurrentunet_tpu.train.loop -c config/proc16k.json --procedural
 
 quality-artifact:
-	python -m tinyrecurrentunet_tpu.train.export_pretrained -c config/proc16k.json \
-		--out artifacts/TRUNet-proc
+	JAX_PLATFORMS=cpu python -m tinyrecurrentunet_tpu.train.export_pretrained \
+		-c config/proc16k.json --out artifacts/TRUNet-proc
+	JAX_PLATFORMS=cpu python -m tinyrecurrentunet_tpu.export.quantize \
+		-c config/proc16k.json --pretrained artifacts/TRUNet-proc
 
 quality:
 	python -m tinyrecurrentunet_tpu.infer.quality -c config/proc16k.json \
-		--pretrained artifacts/TRUNet-proc --out QUALITY.json
+		--pretrained artifacts/TRUNet-proc \
+		--int8 artifacts/TRUNet-proc/model_int8.trq --out QUALITY.json
 
 clean:
 	rm -rf ckpt exp logs .pytest_cache

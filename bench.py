@@ -234,6 +234,7 @@ def main():
         result["flops_per_frame_offline"] = round(offline_flops / n_frames)
 
     result.update(_quality_fields())
+    result.update(_int8_fields())
     print(json.dumps(result))
 
 
@@ -286,6 +287,16 @@ def _quality_fields() -> dict:
             }
     except Exception as e:  # never break the headline line
         print(f"quality fields skipped: {e}", file=sys.stderr)
+    return {}
+
+
+def _int8_fields() -> dict:
+    """Size of the committed int8 .trq pack (reference README.md:6 claims a
+    362 KB quantized model; export/quantize.py's raw pack beats it)."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(repo, "artifacts", "TRUNet-proc", "model_int8.trq")
+    if os.path.exists(path):
+        return {"int8_pack_kb": round(os.path.getsize(path) / 1024, 1)}
     return {}
 
 

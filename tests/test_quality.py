@@ -106,6 +106,37 @@ class TestQualityPipeline:
         names = sorted(os.listdir(tmp_path / "enh"))
         assert names == [f"enhanced_fileid_{i}.wav" for i in range(3)]
 
+    def test_int8_denoiser_builder(self, tmp_path, rng):
+        """save_quantized -> denoiser_from_int8 must produce a working
+        Denoiser whose output tracks the fp32 one (the ~348 KB edge
+        artifact is usable, not just small)."""
+        from tinyrecurrentunet_tpu.export.quantize import save_quantized
+        from tinyrecurrentunet_tpu.infer.denoise import Denoiser
+        from tinyrecurrentunet_tpu.infer.quality import denoiser_from_int8
+        from tinyrecurrentunet_tpu.train.state import create_train_state
+
+        cfg = _cfg16k(tmp_path)
+        state = create_train_state(cfg)
+        trq = str(tmp_path / "model_int8.trq")
+        size = save_quantized(
+            trq, jax.device_get(state.params), jax.device_get(state.batch_stats)
+        )
+        # Random-init weights compress worse than trained ones; the 362 KB
+        # reference claim (README.md:6) is met by the committed TRAINED
+        # artifact (~348 KB, bench.py `int8_pack_kb`). This bound pins the
+        # container overhead staying small.
+        assert size / 1024 < 400, f"int8 pack {size / 1024:.1f} KB"
+        audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+        fp32 = Denoiser(
+            cfg, {"params": state.params, "batch_stats": state.batch_stats}
+        )(audio)
+        int8 = denoiser_from_int8(cfg, trq)(audio)
+        assert int8.shape == fp32.shape
+        assert np.all(np.isfinite(int8))
+        # int8 output stays close to fp32 in relative L2
+        rel = np.linalg.norm(int8 - fp32) / (np.linalg.norm(fp32) + 1e-9)
+        assert rel < 0.15, f"int8/fp32 relative L2 {rel:.3f}"
+
     def test_pretrained_denoiser_builder(self, tmp_path):
         from tinyrecurrentunet_tpu.infer.quality import denoiser_from_pretrained
         from tinyrecurrentunet_tpu.train.checkpoint import save_pretrained_params

@@ -169,3 +169,37 @@ def restore_batch_stats(stats_by_name: dict, target_stats: Any):
         name = "/".join(str(k) for k in path)
         leaves.append(stats_by_name[name].reshape(v.shape))
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def main():
+    """Pack a pretrained.npz artifact as an int8 .trq (the reference's
+    362 KB edge-model claim, `README.md:6`; this raw pack lands ~348 KB).
+
+    Usage:
+        python -m tinyrecurrentunet_tpu.export.quantize -c config/proc16k.json \
+            --pretrained artifacts/TRUNet-proc [--out <dir>/model_int8.trq]
+    """
+    import argparse
+    import os
+
+    from tinyrecurrentunet_tpu.config import load_config
+    from tinyrecurrentunet_tpu.train.checkpoint import load_pretrained_variables
+    from tinyrecurrentunet_tpu.train.state import create_train_state
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", required=True)
+    parser.add_argument("--pretrained", required=True, help="dir with pretrained.npz")
+    parser.add_argument("--out", default=None, help="output .trq path")
+    args = parser.parse_args()
+    cfg = load_config(args.config)
+    state = create_train_state(cfg)
+    params, batch_stats = load_pretrained_variables(
+        args.pretrained, state.params, state.batch_stats
+    )
+    out = args.out or os.path.join(args.pretrained, "model_int8.trq")
+    size = save_quantized(out, params, batch_stats)
+    print(f"wrote {out} ({size / 1024:.1f} KB)")
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,26 @@ def denoiser_from_pretrained(cfg: Config, directory: str) -> Denoiser:
     return denoiser
 
 
+def denoiser_from_int8(cfg: Config, trq_path: str) -> Denoiser:
+    """Build a Denoiser from an int8 .trq pack (export/quantize.py) — the
+    ~348 KB edge artifact (reference `README.md:6` claims 362 KB). Proves
+    the quantized weights are usable, not just small."""
+    from tinyrecurrentunet_tpu.export.quantize import (
+        dequantize_params,
+        load_quantized,
+        restore_batch_stats,
+    )
+    from tinyrecurrentunet_tpu.train.state import create_train_state
+
+    state = create_train_state(cfg)
+    quantized, stats = load_quantized(trq_path)
+    params = dequantize_params(quantized, state.params)
+    batch_stats = restore_batch_stats(stats, state.batch_stats)
+    denoiser = Denoiser(cfg, {"params": params, "batch_stats": batch_stats})
+    denoiser.ckpt_step = "int8"
+    return denoiser
+
+
 def run_quality_eval(
     cfg: Config,
     denoiser: Denoiser,
@@ -176,6 +196,11 @@ def main():
     parser.add_argument("--num_files", type=int, default=60)
     parser.add_argument("--length_sec", type=float, default=4.0)
     parser.add_argument("--testset", default=None, help="reuse/create testset here")
+    parser.add_argument(
+        "--int8",
+        default=None,
+        help="also score this int8 .trq pack on the same testset",
+    )
     parser.add_argument("--out", default="QUALITY.json")
     args = parser.parse_args()
     cfg = load_config(args.config)
@@ -191,8 +216,28 @@ def main():
         testset_dir=args.testset,
         num_files=args.num_files,
         length_sec=args.length_sec,
-        out_json=args.out,
+        out_json=None,
     )
+
+    if args.int8:
+        int8_result = run_quality_eval(
+            cfg,
+            denoiser_from_int8(cfg, args.int8),
+            testset_dir=args.testset,
+            num_files=args.num_files,
+            length_sec=args.length_sec,
+            enhanced_dir=os.path.join(
+                cfg.gen.output_directory, cfg.train.exp_path, "quality_int8"
+            ),
+            out_json=None,
+        )
+        result["enhanced_int8"] = int8_result["enhanced"]
+        result["int8_improvement"] = int8_result["improvement"]
+        result["int8_pack_kb"] = round(os.path.getsize(args.int8) / 1024, 1)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))
 
 

@@ -234,6 +234,7 @@ def main():
         result["flops_per_frame_offline"] = round(offline_flops / n_frames)
 
     result.update(_quality_fields())
+    result.update(_quality48_fields())
     result.update(_int8_fields())
     print(json.dumps(result))
 
@@ -288,6 +289,28 @@ def _quality_fields() -> dict:
     except Exception as e:  # never break the headline line
         print(f"quality fields skipped: {e}", file=sys.stderr)
     return {}
+
+
+def _quality48_fields() -> dict:
+    """48 kHz quality numbers, merged statically from the committed
+    QUALITY48.json (the reference's flagship regime is 48 kHz,
+    `config/tiny.json:44`; recomputing 751-frame clips live would triple
+    bench runtime for a number that only changes when the artifact does)."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    qpath = os.path.join(repo, "QUALITY48.json")
+    if not os.path.exists(qpath):
+        return {}
+    try:
+        with open(qpath) as f:
+            q = json.load(f)
+        return {
+            "quality48_si_sdr_db": round(q["enhanced"]["si_sdr"], 3),
+            "quality48_si_sdr_gain_db": round(q["improvement"]["si_sdr"], 3),
+            "quality48_stoi": round(q["enhanced"]["stoi"], 4),
+        }
+    except Exception as e:
+        print(f"quality48 fields skipped: {e}", file=sys.stderr)
+        return {}
 
 
 def _int8_fields() -> dict:

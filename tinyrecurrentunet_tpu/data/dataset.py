@@ -165,6 +165,10 @@ class SyntheticPairDataset:
     """Procedural clean/noisy pairs: harmonic 'speech-like' tones with
     band-limited noise, deterministic per (seed, index)."""
 
+    # Fixed-length in-memory items -> eligible for the training loop's
+    # on-device corpus cache (see data/procgen.py and train/loop.py).
+    device_cacheable = True
+
     def __init__(
         self,
         num_items: int = 64,

@@ -232,6 +232,14 @@ class ProceduralSpeechDataset:
     __len__ and get(i, rng) -> (clean, noisy, fileid).
     """
 
+    # Fixed-length in-memory items: the training loop may upload the whole
+    # corpus to device memory once and gather batches on-device
+    # (train/loop.py). Besides being the TPU-shaped design (no per-step
+    # host->device batch traffic), this sidesteps a measured environment
+    # bug: the axon PJRT plugin leaks EVERY uploaded host buffer (~4 MB
+    # per step at batch 16; a 36k-iter run was OOM-killed at 130 GB RSS).
+    device_cacheable = True
+
     def __init__(
         self,
         num_items: int = 2000,

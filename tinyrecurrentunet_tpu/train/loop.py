@@ -19,6 +19,7 @@ import argparse
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from tinyrecurrentunet_tpu.config import Config, load_config
@@ -61,14 +62,39 @@ def train(
     # Each process loads only its shard's rows; shard_batch assembles the
     # global (batch_size,) array from the per-process pieces.
     local_batch = batch_size // jax.process_count()
-    loader = DataLoader(
-        dataset,
-        batch_size=local_batch,
-        shuffle=True,
-        drop_last=True,
-        num_shards=jax.process_count(),
-        shard_index=jax.process_index(),
-    )
+
+    # On-device corpus cache: for fixed-length in-memory datasets
+    # (procedural/synthetic) on a single process with no mesh, upload the
+    # whole corpus to device memory ONCE and gather each batch on-device —
+    # the per-step host->device traffic drops from the full batch
+    # (~4 MB at batch 16) to one (batch,) int32 index vector. This is the
+    # TPU-shaped pipeline (HBM is far larger than the corpus; the tunnel
+    # charges per transfer), and it also sidesteps a measured environment
+    # bug: the axon PJRT plugin leaks every uploaded host buffer, which
+    # OOM-killed a 36k-iteration run at 130 GB host RSS (4 MB x 31k steps).
+    device_corpus = None
+    if (
+        getattr(dataset, "device_cacheable", False)
+        and mesh is None
+        and jax.process_count() == 1
+    ):
+        _rng = np.random.default_rng(0)
+        _items = [dataset.get(i, _rng) for i in range(len(dataset))]
+        corpus_clean = jax.device_put(np.stack([c for c, _, _ in _items]))
+        corpus_noisy = jax.device_put(np.stack([n for _, n, _ in _items]))
+        del _items
+        _gather = jax.jit(lambda c, n, idx: (c[idx], n[idx]))
+        device_corpus = (corpus_clean, corpus_noisy, _gather)
+        loader = None
+    else:
+        loader = DataLoader(
+            dataset,
+            batch_size=local_batch,
+            shuffle=True,
+            drop_last=True,
+            num_shards=jax.process_count(),
+            shard_index=jax.process_index(),
+        )
 
     model = TRUNet(cfg.network)
     state = create_train_state(cfg, jax.random.PRNGKey(0), model)
@@ -115,13 +141,24 @@ def train(
             valid_batch = shard_batch(mesh, valid_batch)
     time0 = time.time() - prev_seconds
 
+    def epoch_batches():
+        """One epoch of (clean, noisy) batches - device-gathered when the
+        corpus lives on device, host-loaded otherwise."""
+        if device_corpus is not None:
+            c_all, n_all, gather = device_corpus
+            perm = np.random.permutation(len(dataset))
+            for i in range(0, len(perm) - local_batch + 1, local_batch):
+                idx = jnp.asarray(perm[i : i + local_batch])
+                yield gather(c_all, n_all, idx)
+        else:
+            for clean, noisy, _ in loader:
+                yield clean.astype(np.float32), noisy.astype(np.float32)
+
     metrics = {}
     while n_iter < n_iters:
-        for clean, noisy, _ in loader:
+        for clean, noisy in epoch_batches():
             if n_iter >= n_iters:
                 break
-            clean = clean.astype(np.float32)
-            noisy = noisy.astype(np.float32)
             if mesh is not None:
                 clean, noisy = shard_batch(mesh, (clean, noisy))
             # Profile a short post-warmup window (steps 10-12) when asked.

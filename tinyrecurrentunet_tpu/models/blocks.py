@@ -114,14 +114,16 @@ class GRU(nn.Module):
     def _scan(self, x, h0, params, reverse=False):
         # Kernel selection is by SHAPE, from measured truth on TPU v5e
         # (VERDICT round-1 #8; `ops/gru_bench.py` isolation microbench +
-        # bench.py's end-to-end scan-vs-kernel A/B, recorded in BENCH_r02):
+        # bench.py's end-to-end scan-vs-kernel A/B, recorded every round):
         # - narrow batch + long scan (inference TGRU, 16 rows x 751 steps):
-        #   the Pallas kernel keeps the carry in VMEM, wins ~2.7x isolated
-        #   and 1.5x END TO END on the uncontended chip (offline RTF
-        #   0.000466 vs 0.000703). An earlier A/B taken while a training
-        #   run shared the chip showed the kernel losing - contention
-        #   artifact, not kernel truth; bench.py now records the clean A/B
-        #   every round.
+        #   the Pallas kernel keeps the carry in VMEM and wins ~2.7x in
+        #   ISOLATION. End to end at 381k params the difference sits inside
+        #   run-to-run tunnel variance (measured 1.51x and 0.91x on
+        #   back-to-back idle-chip bench runs, offline RTF ~0.2-0.7 ms
+        #   total) - the kernel's inner win is real but this model is too
+        #   small for it to dominate the pipeline; it matters for larger
+        #   variants. bench.py records offline_rtf_scan vs _pallas_gru
+        #   every round so the policy stays pinned to data.
         # - wide batch (training folds clips*frames into rows: 128-2000):
         #   the VMEM budget forces tiny T-chunks and DMA bubbles dominate -
         #   lax.scan with its MXU-wide per-step matmul wins ~11x.

@@ -49,6 +49,11 @@ def main():
     )
 
     class SlowDataset(SyntheticPairDataset):
+        # The on-device corpus cache would hoist all get() calls into the
+        # one-time corpus build, defeating the per-step pacing this test
+        # relies on (ADVICE r2) — force the per-step loader path.
+        device_cacheable = False
+
         def get(self, index, rng=None):
             time.sleep(delay)
             return super().get(index, rng)

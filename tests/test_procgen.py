@@ -10,11 +10,15 @@ import numpy as np
 import pytest
 
 from tinyrecurrentunet_tpu.data.procgen import (
+    ADDITIVE_KINDS,
     NOISE_KINDS,
     ProceduralSpeechDataset,
+    degrade,
     materialize_dns_testset,
     mix_at_snr,
+    reverberate,
     synth_noise,
+    synth_rir,
     synth_speech,
 )
 
@@ -44,12 +48,51 @@ class TestGenerators:
         e = np.sqrt(np.mean(frames**2, axis=1))
         assert e.max() > 10 * max(np.median(e), 1e-6) or e.min() < 0.1 * e.max()
 
-    @pytest.mark.parametrize("kind", NOISE_KINDS)
+    @pytest.mark.parametrize("kind", ADDITIVE_KINDS)
     def test_noise_kinds(self, kind):
         rng = np.random.default_rng(2)
         n = synth_noise(rng, SR, SR, kind)
         assert n.shape == (SR,) and n.dtype == np.float32
         assert abs(float(np.sqrt(np.mean(n**2))) - 1.0) < 1e-3
+
+    def test_reverb_is_not_additive(self):
+        """'reverb' lives in NOISE_KINDS (corpus round-robin) but not in
+        ADDITIVE_KINDS — synth_noise must refuse it."""
+        assert "reverb" in NOISE_KINDS and "reverb" not in ADDITIVE_KINDS
+        with pytest.raises(ValueError):
+            synth_noise(np.random.default_rng(0), SR, SR, "reverb")
+
+    def test_rir_shape_and_decay(self):
+        """Direct path is unit, the tail decays ~-60 dB by RT60, and the
+        DRR calibration holds."""
+        rng = np.random.default_rng(5)
+        rt60, drr = 0.4, 3.0
+        rir = synth_rir(rng, SR, rt60=rt60, drr_db=drr)
+        assert rir.dtype == np.float32 and rir[0] == 1.0
+        assert len(rir) == int(rt60 * SR)
+        got_drr = 10 * np.log10(1.0 / (np.sum(rir[1:].astype(np.float64) ** 2)))
+        assert abs(got_drr - drr) < 0.2
+        # envelope at the end is ~60 dB below the envelope near the start
+        head = np.max(np.abs(rir[SR // 100 : SR // 25]))
+        tail = np.max(np.abs(rir[-len(rir) // 20 :]))
+        assert tail < head * 10 ** (-30 / 20)  # at least -30 dB down
+
+    def test_reverberate_and_degrade(self):
+        rng = np.random.default_rng(6)
+        clean = synth_speech(rng, 2 * SR, SR)
+        rir = synth_rir(rng, SR, rt60=0.3, drr_db=0.0)
+        wet = reverberate(clean, rir)
+        assert wet.shape == clean.shape and wet.dtype == np.float32
+        assert not np.allclose(wet, clean)
+        # degrade() dispatches reverb -> convolution, additive -> mixing
+        noisy_r, rt = degrade(clean, np.random.default_rng(7), SR, "reverb", (0, 20))
+        assert 0.2 <= rt <= 0.9
+        noisy_a, snr = degrade(clean, np.random.default_rng(7), SR, "white", (0, 20))
+        assert 0.0 <= snr <= 20.0
+        # the reverberant mixture is correlated with clean but degraded
+        from tinyrecurrentunet_tpu.infer.metrics import si_sdr
+
+        assert si_sdr(noisy_r, clean) < 15.0
 
     def test_unknown_noise_kind_raises(self):
         with pytest.raises(ValueError):

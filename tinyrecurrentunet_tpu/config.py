@@ -199,6 +199,12 @@ class OptimizationConfig:
     n_iters: int = 25_000_000
     learning_rate: float = 4e-4
     batch_size_per_device: int = 1
+    # Root seed for the whole training run: parameter init, the data
+    # loader's epoch shuffles, and the on-device corpus cache's epoch
+    # permutations all derive from it, so two runs of the same command are
+    # bit-identical (the reference seeds everything at import,
+    # `train.py:11-14`, `dataset.py:19-22`).
+    seed: int = 0
     # Reference: grad-clip max-norm 1e9 (`train.py:138`), AdamW (`train.py:68`),
     # warmup 5% with divider 25 then cosine to lr_min/1e4 (`train.py:102-110`).
     grad_clip_norm: float = 1e9

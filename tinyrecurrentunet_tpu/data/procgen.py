@@ -14,6 +14,10 @@ in this environment, so this module constructs the richest stand-in it can:
 - **Noise bank**: stationary (white/pink/band-limited/hum) and
   non-stationary (babble, keyboard clicks, amplitude-modulated) generators,
   mixed at DNS-like SNRs (default 0..20 dB, the DNS-2020 training range).
+- **Reverberation**: a `reverb` condition convolves the dry speech with a
+  synthetic RIR (exponential-decay model, RT60 0.2-0.9 s) so the corpus
+  also exercises dereverberation — the second task in the TRU-Net paper's
+  title.
 
 Everything is deterministic per (seed, index) so the corpus behaves like
 files on disk: training runs, held-out testsets, and evaluations are
@@ -42,7 +46,17 @@ NOISE_KINDS = (
     "babble",
     "clicks",
     "modulated",
+    # Not an additive noise: items of this kind are clean speech convolved
+    # with a synthetic room impulse response (dereverberation — the second
+    # half of the TRU-Net paper's title, quoted in the reference
+    # `README.md:3-6`; the reference itself only evaluates `no_reverb`,
+    # `dataset.py:330`).
+    "reverb",
 )
+
+# The kinds synth_noise can generate (everything except the convolutional
+# reverb condition, which degrades via an RIR instead of additive mixing).
+ADDITIVE_KINDS = tuple(k for k in NOISE_KINDS if k != "reverb")
 
 
 def _resonator(x: np.ndarray, sr: int, freq: float, bw: float) -> np.ndarray:
@@ -166,7 +180,7 @@ def synth_noise(
 ) -> np.ndarray:
     """One noise waveform of the requested kind, unit-ish RMS."""
     if kind is None:
-        kind = NOISE_KINDS[rng.integers(len(NOISE_KINDS))]
+        kind = ADDITIVE_KINDS[rng.integers(len(ADDITIVE_KINDS))]
     if kind == "white":
         x = rng.standard_normal(length)
     elif kind == "pink":
@@ -212,6 +226,70 @@ def synth_noise(
         raise ValueError(f"unknown noise kind {kind!r}")
     rms = np.sqrt(np.mean(x**2) + 1e-12)
     return (x / max(rms, 1e-9)).astype(np.float32)
+
+
+def synth_rir(
+    rng: np.random.Generator,
+    sr: int,
+    rt60: float | None = None,
+    drr_db: float | None = None,
+) -> np.ndarray:
+    """Synthetic room impulse response (image-method stand-in).
+
+    Direct path at t=0, a short pre-delay, then an exponentially decaying
+    Gaussian tail reaching -60 dB at RT60 (the classic Schroeder/Polack
+    statistical reverberation model). The tail energy is scaled so the
+    direct-to-reverberant ratio is `drr_db`. Defaults draw RT60 0.2-0.9 s
+    and DRR -2..+8 dB — typical small-to-medium rooms.
+    """
+    if rt60 is None:
+        rt60 = float(rng.uniform(0.2, 0.9))
+    if drr_db is None:
+        drr_db = float(rng.uniform(-2.0, 8.0))
+    length = max(int(rt60 * sr), int(0.05 * sr))
+    t = np.arange(length) / sr
+    # exp(-t/tau) in amplitude hits -60 dB (1e-3) at rt60
+    tau = rt60 / (3.0 * np.log(10.0))
+    tail = rng.standard_normal(length) * np.exp(-t / tau)
+    pre = int(rng.uniform(0.002, 0.012) * sr)  # pre-delay before reflections
+    tail[: max(pre, 1)] = 0.0
+    e_tail = float(np.sum(tail**2)) + 1e-12
+    tail *= np.sqrt(10.0 ** (-drr_db / 10.0) / e_tail)
+    rir = tail
+    rir[0] = 1.0  # unit direct path: wet level stays comparable to dry
+    return rir.astype(np.float32)
+
+
+def reverberate(clean: np.ndarray, rir: np.ndarray) -> np.ndarray:
+    """Convolve speech with an RIR, truncated to the dry length."""
+    from scipy.signal import fftconvolve
+
+    wet = fftconvolve(clean.astype(np.float64), rir.astype(np.float64))
+    return wet[: len(clean)].astype(np.float32)
+
+
+def degrade(
+    clean: np.ndarray,
+    rng: np.random.Generator,
+    sr: int,
+    kind: str,
+    snr_range: tuple[float, float],
+) -> tuple[np.ndarray, float]:
+    """Produce the degraded ('noisy') waveform for one corpus item.
+
+    Additive kinds mix generator noise at a random SNR; the 'reverb' kind
+    convolves with a synthetic RIR instead (target stays the dry clean
+    signal, so training on these items is dereverberation). Returns
+    (noisy, level) where level is the SNR in dB for additive kinds and the
+    RT60 in seconds for reverb.
+    """
+    if kind == "reverb":
+        rt60 = float(rng.uniform(0.2, 0.9))
+        rir = synth_rir(rng, sr, rt60=rt60)
+        return reverberate(clean, rir), rt60
+    noise = synth_noise(rng, len(clean), sr, kind)
+    snr = float(rng.uniform(*snr_range))
+    return mix_at_snr(clean, noise, snr), snr
 
 
 def mix_at_snr(
@@ -268,9 +346,9 @@ class ProceduralSpeechDataset:
         item_rng = np.random.default_rng((self.seed, index))
         clean = synth_speech(item_rng, self.length, self.sample_rate)
         kind = NOISE_KINDS[index % len(NOISE_KINDS)]
-        noise = synth_noise(item_rng, self.length, self.sample_rate, kind)
-        snr = item_rng.uniform(*self.snr_range)
-        noisy = mix_at_snr(clean, noise, snr)
+        noisy, _ = degrade(
+            clean, item_rng, self.sample_rate, kind, self.snr_range
+        )
         item = (clean, noisy, f"proc_{index}")
         if self._cache is not None:
             self._cache[index] = item
@@ -303,16 +381,13 @@ def materialize_dns_testset(
         rng = np.random.default_rng((seed, i))
         clean = synth_speech(rng, length, sample_rate)
         kind = NOISE_KINDS[i % len(NOISE_KINDS)]
-        noise = synth_noise(rng, length, sample_rate, kind)
-        snr = rng.uniform(*snr_range)
-        noisy = mix_at_snr(clean, noise, snr)
+        noisy, level = degrade(clean, rng, sample_rate, kind, snr_range)
+        tag = f"rt{level:.2f}s" if kind == "reverb" else f"snr{level:.0f}db"
         write_wav(
             os.path.join(clean_dir, f"clean_fileid_{i}.wav"), clean, sample_rate
         )
         write_wav(
-            os.path.join(
-                noisy_dir, f"noisy_{kind}_snr{snr:.0f}db_fileid_{i}.wav"
-            ),
+            os.path.join(noisy_dir, f"noisy_{kind}_{tag}_fileid_{i}.wav"),
             noisy,
             sample_rate,
         )

@@ -60,15 +60,21 @@ def dequantize_params(quantized: dict, target_params: Any):
 _TRQ2_MAGIC = b"TRQ2"
 
 
-def save_quantized(path: str, params: Any, batch_stats: Any | None = None) -> int:
+def save_quantized(
+    path: str,
+    params: Any,
+    batch_stats: Any | None = None,
+    meta: dict | None = None,
+) -> int:
     """Write a .trq pack; returns its size in bytes.
 
     Format (TRQ2, VERDICT round-1 item #6 — the round-1 zip-of-npy container
     spent ~45 KB on per-tensor npy/zip headers): one zlib'd JSON manifest
-    (tensor names, shapes, offsets, fp32 scales) followed by a single raw
-    little-endian payload of all int8 weight bytes then all fp32 batch-stat
-    bytes; the payload is zlib-deflated when that wins. 381,472 params land
-    at ~360 KB — the reference's published size (`README.md:6`).
+    (tensor names, shapes, offsets, fp32 scales, decode-critical meta such
+    as phm_source) followed by a single raw little-endian payload of all
+    int8 weight bytes then all fp32 batch-stat bytes; the payload is
+    zlib-deflated when that wins. 381,472 params land at 340 KB (348,128
+    bytes) — under the reference's published 362 KB (`README.md:6`).
     """
     import json
     import struct
@@ -76,6 +82,8 @@ def save_quantized(path: str, params: Any, batch_stats: Any | None = None) -> in
 
     quantized = quantize_params(params)
     manifest = {"tensors": [], "stats": [], "payload": "raw"}
+    if meta:
+        manifest["meta"] = {k: str(v) for k, v in meta.items()}
     chunks = []
     offset = 0
     for name, (q, scale) in quantized.items():
@@ -111,6 +119,20 @@ def save_quantized(path: str, params: Any, batch_stats: Any | None = None) -> in
         f.write(header)
         f.write(payload)
     return os.path.getsize(path)
+
+
+def load_quantized_meta(path: str) -> dict:
+    """The pack's recorded decode-critical meta ({} for older packs)."""
+    import json
+    import struct
+    import zlib
+
+    with open(path, "rb") as f:
+        if f.read(4) != _TRQ2_MAGIC:
+            return {}
+        (header_len,) = struct.unpack("<I", f.read(4))
+        manifest = json.loads(zlib.decompress(f.read(header_len)))
+    return manifest.get("meta", {})
 
 
 def load_quantized(path: str):
@@ -179,7 +201,7 @@ def restore_batch_stats(stats_by_name: dict, target_stats: Any):
 
 def main():
     """Pack a pretrained.npz artifact as an int8 .trq (the reference's
-    362 KB edge-model claim, `README.md:6`; this raw pack lands ~348 KB).
+    362 KB edge-model claim, `README.md:6`; this raw pack lands at 340 KB).
 
     Usage:
         python -m tinyrecurrentunet_tpu.export.quantize -c config/proc16k.json \
@@ -189,7 +211,10 @@ def main():
     import os
 
     from tinyrecurrentunet_tpu.config import load_config
-    from tinyrecurrentunet_tpu.train.checkpoint import load_pretrained_variables
+    from tinyrecurrentunet_tpu.train.checkpoint import (
+        artifact_meta,
+        load_pretrained_variables,
+    )
     from tinyrecurrentunet_tpu.train.state import create_train_state
 
     parser = argparse.ArgumentParser()
@@ -200,10 +225,10 @@ def main():
     cfg = load_config(args.config)
     state = create_train_state(cfg)
     params, batch_stats = load_pretrained_variables(
-        args.pretrained, state.params, state.batch_stats
+        args.pretrained, state.params, state.batch_stats, cfg=cfg
     )
     out = args.out or os.path.join(args.pretrained, "model_int8.trq")
-    size = save_quantized(out, params, batch_stats)
+    size = save_quantized(out, params, batch_stats, meta=artifact_meta(cfg))
     print(f"wrote {out} ({size / 1024:.1f} KB)")
 
 

@@ -64,7 +64,7 @@ class Denoiser:
 
             directory = os.path.join(cfg.train.log.directory, cfg.train.exp_path)
             params, batch_stats = load_pretrained_variables(
-                directory, state.params, state.batch_stats
+                directory, state.params, state.batch_stats, cfg=cfg
             )
             state = state.replace(params=params, batch_stats=batch_stats)
             step = "pretrained"

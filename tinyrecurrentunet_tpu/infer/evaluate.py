@@ -48,18 +48,26 @@ def evaluate_dns(
     target: str = "enhanced",
     sample_rate: int = 16000,
     max_files: int | None = None,
+    fileids: set | None = None,
 ):
     """Returns a dict of length-weighted mean metrics.
 
     testset_path points at the DNS no-reverb layout (clean/ + noisy/), or
     any directory with clean/ and noisy/ subdirs; enhanced files are matched
-    by the trailing fileid like the reference (`eval.py:24-28`).
+    by the trailing fileid like the reference (`eval.py:24-28`). `fileids`
+    restricts scoring to those exact ids (so a reused oversized testset
+    directory doesn't silently widen the evaluation — ADVICE r2).
     """
     base = os.path.join(testset_path, "datasets/test_set/synthetic/no_reverb")
     if not os.path.isdir(base):
         base = testset_path
     clean_dir = os.path.join(base, "clean")
     clean_files = sorted(os.listdir(clean_dir))
+    if fileids is not None:
+        wanted = {str(f) for f in fileids}
+        clean_files = [
+            n for n in clean_files if n[:-4].rsplit("_", 1)[-1] in wanted
+        ]
     if max_files:
         clean_files = clean_files[:max_files]
 

@@ -47,7 +47,7 @@ def denoiser_from_pretrained(cfg: Config, directory: str) -> Denoiser:
 
     state = create_train_state(cfg)
     params, batch_stats = load_pretrained_variables(
-        directory, state.params, state.batch_stats
+        directory, state.params, state.batch_stats, cfg=cfg
     )
     denoiser = Denoiser(cfg, {"params": params, "batch_stats": batch_stats})
     denoiser.ckpt_step = "pretrained"
@@ -56,15 +56,18 @@ def denoiser_from_pretrained(cfg: Config, directory: str) -> Denoiser:
 
 def denoiser_from_int8(cfg: Config, trq_path: str) -> Denoiser:
     """Build a Denoiser from an int8 .trq pack (export/quantize.py) — the
-    ~348 KB edge artifact (reference `README.md:6` claims 362 KB). Proves
+    340 KB edge artifact (reference `README.md:6` claims 362 KB). Proves
     the quantized weights are usable, not just small."""
     from tinyrecurrentunet_tpu.export.quantize import (
         dequantize_params,
         load_quantized,
+        load_quantized_meta,
         restore_batch_stats,
     )
+    from tinyrecurrentunet_tpu.train.checkpoint import check_artifact_meta
     from tinyrecurrentunet_tpu.train.state import create_train_state
 
+    check_artifact_meta(load_quantized_meta(trq_path), cfg, trq_path)
     state = create_train_state(cfg)
     quantized, stats = load_quantized(trq_path)
     params = dequantize_params(quantized, state.params)
@@ -102,6 +105,21 @@ def run_quality_eval(
             sample_rate=sr,
             seed=seed,
         )
+    else:
+        # Reused testset: verify it was materialized at this sample rate
+        # (ADVICE r2: a stale dir at another rate was silently accepted).
+        probe = os.path.join(clean_dir, sorted(os.listdir(clean_dir))[0])
+        _, probe_sr = read_wav(probe)
+        if probe_sr != sr:
+            raise ValueError(
+                f"testset at {testset_dir} was materialized at {probe_sr} Hz "
+                f"but the config says {sr} Hz — pass a fresh --testset dir"
+            )
+
+    # Evaluate exactly the first num_files ids, even when the (reused)
+    # directory holds more (ADVICE r2: the report claimed num_files while
+    # scoring everything present).
+    wanted = {str(i) for i in range(num_files)}
 
     if enhanced_dir is None:
         enhanced_dir = os.path.join(
@@ -112,17 +130,21 @@ def run_quality_eval(
     for name in sorted(os.listdir(noisy_dir)):
         if not name.endswith(".wav"):
             continue
+        fileid = name[:-4].rsplit("_", 1)[-1]
+        if fileid not in wanted:
+            continue
         noisy, _ = read_wav(os.path.join(noisy_dir, name))
         enhanced = denoiser(noisy)
-        fileid = name[:-4].rsplit("_", 1)[-1]
         write_wav(
             os.path.join(enhanced_dir, f"enhanced_fileid_{fileid}.wav"),
             enhanced,
             sr,
         )
 
-    scored = evaluate_dns(testset_dir, enhanced_dir, sample_rate=sr)
-    baseline = evaluate_dns(testset_dir, target="noisy", sample_rate=sr)
+    scored = evaluate_dns(testset_dir, enhanced_dir, sample_rate=sr, fileids=wanted)
+    baseline = evaluate_dns(
+        testset_dir, target="noisy", sample_rate=sr, fileids=wanted
+    )
 
     # Per-noise-kind SI-SDR improvement: the noisy filenames record the
     # generator kind (`noisy_{kind}_snr{..}db_fileid_{i}.wav`,
@@ -137,6 +159,8 @@ def run_quality_eval(
         parts = name[:-4].split("_")
         kind = parts[1] if len(parts) > 2 else "unknown"
         fileid = parts[-1]
+        if fileid not in wanted:
+            continue
         clean, _ = read_wav(
             os.path.join(testset_dir, "clean", f"clean_fileid_{fileid}.wav")
         )

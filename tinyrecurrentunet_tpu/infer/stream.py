@@ -163,9 +163,40 @@ def stream_microphone(cfg: Config, variables: dict, latency: str = "low"):
             stop.set()
 
 
+def list_devices() -> list[str]:
+    """Audio device inventory (reference `stream.py:28-46` CLI parity).
+
+    With the sounddevice wheel installed this is the PortAudio device
+    table (exactly what the reference printed); without it, the native
+    stream host's virtual endpoints are listed so the flag still answers
+    "what can I stream through here".
+    """
+    try:
+        import sounddevice as sdev
+
+        lines = ["PortAudio devices:"]
+        lines.extend(str(sdev.query_devices()).splitlines())
+        default = sdev.default.device
+        lines.append(f"default (in, out): {default}")
+    except ImportError:
+        lines = [
+            "sounddevice/PortAudio wheel not installed; native host endpoints:",
+            "  0  ring:input   (StreamHost lock-free SPSC input ring)",
+            "  1  ring:output  (StreamHost lock-free SPSC output ring)",
+            "  file endpoints: --input/--output WAV streaming "
+            "(add --realtime to pace blocks at the hop deadline and count xruns)",
+        ]
+    return lines
+
+
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("-c", "--config", required=True)
+    parser.add_argument("-c", "--config", default=None)
+    parser.add_argument(
+        "--list-devices",
+        action="store_true",
+        help="list audio devices and exit (reference stream.py:28-46)",
+    )
     parser.add_argument("--input", default=None)
     parser.add_argument("--output", default="enhanced_stream.wav")
     parser.add_argument("--mic", action="store_true")
@@ -177,6 +208,12 @@ def main():
     parser.add_argument("--random_init", action="store_true")
     parser.add_argument("--latency", default="low")
     args = parser.parse_args()
+    if args.list_devices:
+        for line in list_devices():
+            print(line)
+        return
+    if not args.config:
+        parser.error("-c/--config is required (except with --list-devices)")
     cfg = load_config(args.config)
 
     if args.random_init:

@@ -93,14 +93,47 @@ class CheckpointManager:
         self._mgr.close()
 
 
-def save_pretrained_params(directory: str, params: Any, batch_stats: Any = None):
+def artifact_meta(cfg) -> dict:
+    """The settings a weights artifact must agree on with its loader.
+
+    phm_source is the load-bearing one (ADVICE r2 medium: weights trained
+    with one PHM head decode as garbage under another with no error); the
+    rest make mismatches diagnosable.
+    """
+    return {
+        "phm_source": cfg.network.phm_source,
+        "channels": ",".join(cfg.featurizer.channels),
+        "sample_rate": cfg.featurizer.sample_rate,
+    }
+
+
+def check_artifact_meta(meta: dict, cfg, artifact: str):
+    """Raise when a recorded artifact setting contradicts the config."""
+    if not meta:
+        return  # pre-round-3 artifact: nothing recorded, nothing to check
+    expected = artifact_meta(cfg)
+    for key in ("phm_source", "channels"):
+        recorded = str(meta.get(key, "")) or None
+        if recorded and recorded != str(expected[key]):
+            raise ValueError(
+                f"{artifact} was trained with {key}={recorded!r} but the "
+                f"config says {expected[key]!r} — loading it would silently "
+                f"decode with an incompatible head. Pin {key} in the config "
+                "to the recorded value (or re-export the artifact)."
+            )
+
+
+def save_pretrained_params(
+    directory: str, params: Any, batch_stats: Any = None, meta: dict | None = None
+):
     """Standalone weights export (the reference's 'pretrained' selector,
     `denoise.py:63-65`) as an npz of flattened leaves.
 
     When `batch_stats` is given, the BN running statistics are stored too
     (under a `batch_stats/` prefix) — inference-time BN uses running stats,
     so a params-only artifact would silently denoise with init-time
-    (zero-mean/unit-var) normalizers.
+    (zero-mean/unit-var) normalizers. `meta` (see `artifact_meta`) records
+    the decode-critical settings under a `meta/` prefix so loads validate.
     """
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     arrays = {
@@ -115,6 +148,8 @@ def save_pretrained_params(directory: str, params: Any, batch_stats: Any = None)
                 for path, v in flat_bs
             }
         )
+    for key, value in (meta or {}).items():
+        arrays[f"meta/{key}"] = np.asarray(value)
     os.makedirs(directory, exist_ok=True)
     np.savez(os.path.join(directory, "pretrained.npz"), **arrays)
 
@@ -140,10 +175,31 @@ def load_pretrained_params(directory: str, target_params: Any):
     return _load_section(data, "params/", target_params)
 
 
-def load_pretrained_variables(directory: str, target_params: Any, target_batch_stats: Any):
-    """Load (params, batch_stats); batch_stats falls back to the target's
-    values when the artifact predates batch-stats storage."""
+def load_pretrained_meta(directory: str) -> dict:
+    """The artifact's recorded `meta/` entries ({} for older artifacts)."""
     data = np.load(os.path.join(directory, "pretrained.npz"))
+    return {
+        k[len("meta/") :]: data[k][()]
+        for k in data.files
+        if k.startswith("meta/")
+    }
+
+
+def load_pretrained_variables(
+    directory: str, target_params: Any, target_batch_stats: Any, cfg=None
+):
+    """Load (params, batch_stats); batch_stats falls back to the target's
+    values when the artifact predates batch-stats storage. When `cfg` is
+    given, the artifact's recorded meta is validated against it
+    (`check_artifact_meta`)."""
+    data = np.load(os.path.join(directory, "pretrained.npz"))
+    if cfg is not None:
+        meta = {
+            k[len("meta/") :]: data[k][()]
+            for k in data.files
+            if k.startswith("meta/")
+        }
+        check_artifact_meta(meta, cfg, os.path.join(directory, "pretrained.npz"))
     params = _load_section(data, "params/", target_params)
     if any(k.startswith("batch_stats/") for k in data.files):
         batch_stats = _load_section(data, "batch_stats/", target_batch_stats)

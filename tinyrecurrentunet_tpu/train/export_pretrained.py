@@ -21,6 +21,7 @@ import jax
 from tinyrecurrentunet_tpu.config import load_config
 from tinyrecurrentunet_tpu.train.checkpoint import (
     CheckpointManager,
+    artifact_meta,
     save_pretrained_params,
 )
 from tinyrecurrentunet_tpu.train.state import create_train_state
@@ -44,7 +45,10 @@ def main():
             f"{cfg.train.log.directory}/{cfg.train.exp_path}"
         )
     save_pretrained_params(
-        args.out, jax.device_get(state.params), jax.device_get(state.batch_stats)
+        args.out,
+        jax.device_get(state.params),
+        jax.device_get(state.batch_stats),
+        meta=artifact_meta(cfg),
     )
     path = os.path.join(args.out, "pretrained.npz")
     print(f"wrote {path} ({os.path.getsize(path) / 1024:.1f} KB) from step {step}")

@@ -234,6 +234,33 @@ class TestEvalPairing:
         with pytest.raises(FileNotFoundError, match="_2"):
             evaluate_dns(str(base), None, target="noisy", sample_rate=16000)
 
+    def test_fileids_filter_restricts_scoring(self, tmp_path):
+        """ADVICE r2: an oversized (reused) testset dir must not silently
+        widen the evaluation — the fileids= allowlist pins the set."""
+        from tinyrecurrentunet_tpu.infer.evaluate import evaluate_dns
+
+        base = tmp_path
+        (base / "clean").mkdir()
+        (base / "noisy").mkdir()
+        for i in range(5):
+            self._write(str(base / "clean" / f"clean_fileid_{i}.wav"), 0.1)
+            self._write(str(base / "noisy" / f"noisy_fileid_{i}.wav"), 0.1)
+        m = evaluate_dns(
+            str(base), None, target="noisy", sample_rate=16000,
+            fileids={"0", "1", "2"},
+        )
+        assert m["num_files"] == 3
+
+    def test_list_devices_without_sounddevice(self):
+        """--list-devices parity (reference stream.py:28-46): without the
+        PortAudio wheel the native endpoints are listed."""
+        from tinyrecurrentunet_tpu.infer.stream import list_devices
+
+        lines = list_devices()
+        assert lines and any(
+            "PortAudio" in line or "ring:input" in line for line in lines
+        )
+
     def test_pairs_by_exact_id(self, tmp_path):
         """End-to-end: clean files pair with the SAME-id noisy file even
         when suffix-colliding ids coexist (1 vs 11)."""

@@ -37,6 +37,21 @@ quality:
 		--pretrained artifacts/TRUNet-proc \
 		--int8 artifacts/TRUNet-proc/model_int8.trq --out QUALITY.json
 
+# ---- 48 kHz regime (the reference's native rate)
+train-quality48:
+	python -m tinyrecurrentunet_tpu.train.loop -c config/proc48k.json --procedural
+
+quality-artifact48:
+	JAX_PLATFORMS=cpu python -m tinyrecurrentunet_tpu.train.export_pretrained \
+		-c config/proc48k.json --out artifacts/TRUNet-proc48
+	JAX_PLATFORMS=cpu python -m tinyrecurrentunet_tpu.export.quantize \
+		-c config/proc48k.json --pretrained artifacts/TRUNet-proc48
+
+quality48:
+	python -m tinyrecurrentunet_tpu.infer.quality -c config/proc48k.json \
+		--pretrained artifacts/TRUNet-proc48 \
+		--int8 artifacts/TRUNet-proc48/model_int8.trq --out QUALITY48.json
+
 clean:
 	rm -rf ckpt exp logs .pytest_cache
 	$(MAKE) -C cpp clean

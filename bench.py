@@ -267,9 +267,11 @@ def main():
         l_pallas, _ = time_offline(
             dataclasses.replace(lcfg.network, use_pallas_gru="always"), lvars
         )
+        l_auto, _ = time_offline(lcfg.network, lvars)  # the shipped policy
         large_fields = {
             "large_offline_rtf_scan": round(l_scan, 6),
             "large_offline_rtf_pallas": round(l_pallas, 6),
+            "large_offline_rtf": round(l_auto, 6),
             "large_pallas_gru_speedup": round(l_scan / l_pallas, 3),
         }
     except Exception as e:

@@ -31,6 +31,7 @@ exactly reproducible without shipping WAVs in the repo.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 
 import numpy as np
@@ -355,6 +356,19 @@ class ProceduralSpeechDataset:
         return item
 
 
+def testset_meta(
+    num_files: int, length_sec: float, sample_rate: int, seed: int
+) -> dict:
+    """The generation recipe a materialized testset must match to be reused."""
+    return {
+        "kinds": list(NOISE_KINDS),
+        "num_files": num_files,
+        "length_sec": length_sec,
+        "sample_rate": sample_rate,
+        "seed": seed,
+    }
+
+
 def materialize_dns_testset(
     out_dir: str,
     num_files: int = 100,
@@ -375,6 +389,12 @@ def materialize_dns_testset(
     os.makedirs(clean_dir, exist_ok=True)
     os.makedirs(noisy_dir, exist_ok=True)
     from tinyrecurrentunet_tpu.data.audio_io import write_wav
+
+    # Stamp the generation recipe so consumers can detect a stale cache
+    # (round 3: a reused testset materialized before the reverb condition
+    # existed silently dropped the dereverberation axis from QUALITY.json).
+    with open(os.path.join(out_dir, "testset_meta.json"), "w") as f:
+        json.dump(testset_meta(num_files, length_sec, sample_rate, seed), f)
 
     length = int(length_sec * sample_rate)
     for i in range(num_files):

@@ -30,7 +30,10 @@ import numpy as np
 
 from tinyrecurrentunet_tpu.config import Config, load_config
 from tinyrecurrentunet_tpu.data.audio_io import read_wav, write_wav
-from tinyrecurrentunet_tpu.data.procgen import materialize_dns_testset
+from tinyrecurrentunet_tpu.data.procgen import (
+    materialize_dns_testset,
+    testset_meta,
+)
 from tinyrecurrentunet_tpu.infer.denoise import Denoiser
 from tinyrecurrentunet_tpu.infer.evaluate import evaluate_dns
 
@@ -94,10 +97,25 @@ def run_quality_eval(
             tempfile.gettempdir(), f"trunet_quality_testset_{sr}_{num_files}_{seed}"
         )
     clean_dir = os.path.join(testset_dir, "clean")
-    if (
+    meta_path = os.path.join(testset_dir, "testset_meta.json")
+    want_meta = testset_meta(num_files, length_sec, sr, seed)
+    have_meta = None
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            have_meta = json.load(f)
+    stale = (
         not os.path.isdir(clean_dir)
         or len(os.listdir(clean_dir)) < num_files
-    ):
+        # A cached tree from an older generator (different noise-kind set,
+        # e.g. pre-reverb) silently drops whole quality axes — round 3 this
+        # hid the dereverberation numbers. Regenerate on any recipe change.
+        or have_meta != want_meta
+    )
+    if stale:
+        if os.path.isdir(clean_dir) and have_meta != want_meta:
+            import shutil
+
+            shutil.rmtree(testset_dir)
         materialize_dns_testset(
             testset_dir,
             num_files=num_files,

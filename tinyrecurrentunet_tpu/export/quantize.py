@@ -73,8 +73,9 @@ def save_quantized(
     (tensor names, shapes, offsets, fp32 scales, decode-critical meta such
     as phm_source) followed by a single raw little-endian payload of all
     int8 weight bytes then all fp32 batch-stat bytes; the payload is
-    zlib-deflated when that wins. 381,472 params land at 340 KB (348,128
-    bytes) — under the reference's published 362 KB (`README.md:6`).
+    zlib-deflated when that wins. 381,472 params land at ~334-340 KB
+    depending on weight entropy (committed flagship: 341,715 bytes =
+    333.7 KB) — under the reference's published 362 KB (`README.md:6`).
     """
     import json
     import struct
@@ -201,7 +202,7 @@ def restore_batch_stats(stats_by_name: dict, target_stats: Any):
 
 def main():
     """Pack a pretrained.npz artifact as an int8 .trq (the reference's
-    362 KB edge-model claim, `README.md:6`; this raw pack lands at 340 KB).
+    362 KB edge-model claim, `README.md:6`; this raw pack lands ~334-340 KB).
 
     Usage:
         python -m tinyrecurrentunet_tpu.export.quantize -c config/proc16k.json \

@@ -44,8 +44,14 @@ class TestReferenceCompat:
         assert cfg.gen.output_directory == "/tmp/x"
 
     def test_framework_configs_load(self):
-        for name in ("tiny16k", "tiny48k", "synthetic16k"):
-            cfg = load_config(f"config/{name}.json")
+        # Every shipped config must load and validate (incl. the flagship
+        # proc16k/proc48k and the 4.4M-param large16k Pallas-GRU shape).
+        import glob
+
+        paths = sorted(glob.glob("config/*.json"))
+        assert len(paths) >= 6
+        for path in paths:
+            cfg = load_config(path)
             assert cfg.network.input_size == cfg.featurizer.num_channels
 
 

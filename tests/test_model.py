@@ -136,6 +136,21 @@ class TestTRUNet:
         assert _count(dec) == 134_368
         assert _count(params) == 381_472
 
+    def test_large_variant_forward(self):
+        """The shipped 4.4M-param `large16k` shape (tgru_hidden 512 — the
+        config where the Pallas GRU kernel's win is measured end to end,
+        VERDICT r2 #9) builds and runs forward at tiny shapes."""
+        from tinyrecurrentunet_tpu.config import load_config
+
+        cfg = load_config("config/large16k.json")
+        model = TRUNet(cfg.network)
+        x = jnp.zeros((4, 257, 4))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        y, h = model.apply(variables, x)
+        assert y.shape == (4, 257, 8)
+        n = _count(variables["params"])
+        assert 4_000_000 < n < 5_000_000
+
     def test_param_count_3ch(self):
         cfg = NetworkConfig(input_size=3, output_size=6)
         model = TRUNet(cfg)

@@ -52,6 +52,36 @@ def _peak_flops(device) -> float:
     return 197e12
 
 
+def _throughput_seconds(run_once, sync_probe, reps_hi: int, reps_lo: int,
+                        repeats: int = 5) -> float:
+    """Per-call device seconds via a two-point queued-run slope.
+
+    block_until_ready does NOT fence device execution under the axon PJRT
+    plugin (measured here: an 8192^3 f32 matmul "completes" in 30 us =
+    41 PFLOPS, 200x over chip peak), so any single-call timing whose real
+    compute exceeds the ~0.25 ms dispatch cost is under-measured by BUR.
+    A device->host transfer is a true fence (the bytes must exist); its
+    fixed ~60 ms tunnel cost cancels in the slope between a long and a
+    short queued run. Median over `repeats` kills tunnel-stall outliers.
+    """
+    import time as _time
+
+    def timed(reps: int) -> float:
+        out = None
+        start = _time.perf_counter()
+        for _ in range(reps):
+            out = run_once()
+        sync_probe(out)
+        return _time.perf_counter() - start
+
+    slopes = []
+    for _ in range(repeats):
+        t_lo = timed(reps_lo)
+        t_hi = timed(reps_hi)
+        slopes.append((t_hi - t_lo) / (reps_hi - reps_lo))
+    return max(float(np.median(slopes)), 1e-9)
+
+
 def _program_flops(compiled) -> float | None:
     """FLOPs of a compiled XLA program via cost_analysis (None if opaque)."""
     try:
@@ -101,7 +131,11 @@ def main():
     sd = StreamingDenoiser(cfg, variables)
     state = sd.init_state()
     block = jnp.asarray(audio[:hop])
-    # warmup (compile + cache)
+    # warmup (compile + cache). NO device->host pull may happen before the
+    # per-block latency sections: after the first D2H in a process the
+    # plugin makes every subsequent block_until_ready wait a full tunnel
+    # round-trip (~29 ms), which would poison the dispatch-bound per-block
+    # numbers with network latency that does not exist on a local host.
     for _ in range(20):
         out, state = sd.process_block(state, block)
     jax.block_until_ready(out)
@@ -122,7 +156,10 @@ def main():
     # counters exist too — infer/stream.py --realtime — but over the axon
     # tunnel every per-block device->host pull costs ~60 ms, so tunnel
     # xruns measure the tunnel, not the chip; these device-side timings
-    # are the honest per-block numbers.)
+    # are the honest per-block numbers. BUR's broken fence — see
+    # _throughput_seconds — does not distort them materially: per-frame
+    # compute is 41.5 MFLOP ≈ microseconds, 100x below the ~0.25 ms
+    # dispatch cost these numbers are made of.)
     p99_step = float(np.percentile(times, 99))
     max_step = float(np.max(times))
     deadline_misses = int(sum(t > block_seconds for t in times))
@@ -143,73 +180,9 @@ def main():
         ctimes.append(time.perf_counter() - start)
     rtf_chunked = float(np.median(ctimes)) / (k * block_seconds)
 
-    # ---- multi-stream serving capacity (N concurrent streams, K=8 hops)
-    from tinyrecurrentunet_tpu.infer.multistream import MultiStreamDenoiser
-
-    n_streams = 64
-    msd = MultiStreamDenoiser(cfg, variables, num_streams=n_streams, chunk_frames=k)
-    mstate = msd.init_state()
-    mblocks = jnp.asarray(
-        np.tile(audio[: hop * k], (n_streams, 1))
-    )
-    for _ in range(5):
-        mout, mstate = msd.process_block(mstate, mblocks)
-    jax.block_until_ready(mout)
-    mtimes = []
-    for _ in range(50):
-        start = time.perf_counter()
-        mout, mstate = msd.process_block(mstate, mblocks)
-        mout.block_until_ready()
-        mtimes.append(time.perf_counter() - start)
-    call = float(np.median(mtimes))
-    # real-time capacity: N streams advance k*block_seconds of audio per call
-    streams_per_chip = int(n_streams * (k * block_seconds) / call)
-
-    # ---- offline: the whole 2 s pipeline in one device call, measured with
-    # the Pallas GRU kernel both on (auto selection) and off (pure lax.scan)
-    # so the kernel's win is a recorded number (VERDICT round-1 item #8).
-    def time_offline(network_cfg, vars_=None):
-        m = TRUNet(network_cfg)
-        vars_ = variables if vars_ is None else vars_
-
-        def offline(vs, audio):
-            spec = featurizer.spectrogram(audio)
-            feats = featurizer.features_from_spec(spec)
-            output, _ = m.apply(vs, feats)
-            return denoise_output_to_audio(
-                output, featurizer, network_cfg, length=audio.shape[-1],
-                mixture_spec=spec,
-            )
-
-        offline_jit = jax.jit(offline)
-        lowered = offline_jit.lower(vars_, jnp.asarray(audio))
-        compiled = lowered.compile()
-        out = offline_jit(vars_, jnp.asarray(audio))
-        jax.block_until_ready(out)
-        reps = 20
-        start = time.perf_counter()
-        for _ in range(reps):
-            out = offline_jit(vars_, jnp.asarray(audio))
-        jax.block_until_ready(out)
-        seconds = (time.perf_counter() - start) / reps
-        return seconds / 2.0, _program_flops(compiled)
-
-    # End-to-end scan-vs-Pallas A/B (VERDICT round-1 #8): "auto" picks the
-    # kernel for the offline shape (models/blocks.py GRU._scan policy), and
-    # the explicit never/always pair records the clean speedup every round
-    # so the policy stays pinned to measured truth.
-    rtf_offline, offline_flops = time_offline(cfg.network)
-    rtf_offline_scan, _ = time_offline(
-        dataclasses.replace(cfg.network, use_pallas_gru="never")
-    )
-    rtf_offline_pallas, _ = time_offline(
-        dataclasses.replace(cfg.network, use_pallas_gru="always")
-    )
-
-    # ---- bf16 offline + streaming (VERDICT r2 #1: the cheapest untried
-    # lever on the utilization numbers — measure it, then decide)
+    # ---- bf16 streaming per-block (VERDICT r2 #1). Runs before any D2H
+    # for the same reason as the 16 kHz section above.
     bf16_net = dataclasses.replace(cfg.network, compute_dtype="bfloat16")
-    rtf_offline_bf16, _ = time_offline(bf16_net)
     cfg_bf16 = dataclasses.replace(cfg, network=bf16_net)
     sdb = StreamingDenoiser(cfg_bf16, variables)
     bstate = sdb.init_state()
@@ -245,6 +218,84 @@ def main():
     block48_seconds = hop / 48000.0
     rtf_stream_48k = float(np.median(t48)) / block48_seconds
     misses48 = int(sum(t > block48_seconds for t in t48))
+
+    # ---- one-time tunnel D2H handshake (~97 s for the first device->host
+    # pull in a process), paid OUTSIDE all timers. Everything after this
+    # point is throughput-measured via the D2H-fenced two-point slope
+    # (_throughput_seconds); everything latency-shaped ran above.
+    np.asarray(out[:1])
+
+    # ---- multi-stream serving capacity (N concurrent streams, K=8 hops)
+    from tinyrecurrentunet_tpu.infer.multistream import MultiStreamDenoiser
+
+    n_streams = 64
+    msd = MultiStreamDenoiser(cfg, variables, num_streams=n_streams, chunk_frames=k)
+    mstate = msd.init_state()
+    mblocks = jnp.asarray(
+        np.tile(audio[: hop * k], (n_streams, 1))
+    )
+    for _ in range(5):
+        mout, mstate = msd.process_block(mstate, mblocks)
+    jax.block_until_ready(mout)
+
+    def _ms_once():
+        nonlocal mstate
+        mout, mstate = msd.process_block(mstate, mblocks)
+        return mout
+
+    # 64 streams x 8 hops = 21 GFLOP per call: real compute rivals the
+    # dispatch cost, so this needs the true (D2H-fenced) throughput.
+    call = _throughput_seconds(
+        _ms_once, lambda o: np.asarray(o[..., :1]), reps_hi=45, reps_lo=9
+    )
+    # real-time capacity: N streams advance k*block_seconds of audio per call
+    streams_per_chip = int(n_streams * (k * block_seconds) / call)
+
+    # ---- offline: the whole 2 s pipeline in one device call, measured with
+    # the Pallas GRU kernel both on (auto selection) and off (pure lax.scan)
+    # so the kernel's win is a recorded number (VERDICT round-1 item #8).
+    def time_offline(network_cfg, vars_=None):
+        m = TRUNet(network_cfg)
+        vars_ = variables if vars_ is None else vars_
+
+        def offline(vs, audio):
+            spec = featurizer.spectrogram(audio)
+            feats = featurizer.features_from_spec(spec)
+            output, _ = m.apply(vs, feats)
+            return denoise_output_to_audio(
+                output, featurizer, network_cfg, length=audio.shape[-1],
+                mixture_spec=spec,
+            )
+
+        offline_jit = jax.jit(offline)
+        audio_dev = jnp.asarray(audio)
+        lowered = offline_jit.lower(vars_, audio_dev)
+        compiled = lowered.compile()
+        out = offline_jit(vars_, audio_dev)
+        jax.block_until_ready(out)
+        seconds = _throughput_seconds(
+            lambda: offline_jit(vars_, audio_dev),
+            lambda o: np.asarray(o[:1]),
+            reps_hi=60,
+            reps_lo=12,
+        )
+        return seconds / 2.0, _program_flops(compiled)
+
+    # End-to-end scan-vs-Pallas A/B (VERDICT round-1 #8): "auto" picks the
+    # kernel for the offline shape (models/blocks.py GRU._scan policy), and
+    # the explicit never/always pair records the clean speedup every round
+    # so the policy stays pinned to measured truth.
+    rtf_offline, offline_flops = time_offline(cfg.network)
+    rtf_offline_scan, _ = time_offline(
+        dataclasses.replace(cfg.network, use_pallas_gru="never")
+    )
+    rtf_offline_pallas, _ = time_offline(
+        dataclasses.replace(cfg.network, use_pallas_gru="always")
+    )
+
+    # ---- bf16 offline (VERDICT r2 #1: the cheapest untried lever on the
+    # utilization numbers — measure it, then decide)
+    rtf_offline_bf16, _ = time_offline(bf16_net)
 
     # ---- large-variant Pallas GRU decision (VERDICT r2 #9): at 4.4M
     # params (tgru_hidden 512) the kernel's isolation win must show up end
@@ -313,13 +364,18 @@ def main():
         state, met = step(state, clean_b, noisy_b)  # compile+warmup
         for _ in range(2):
             state, met = step(state, clean_b, noisy_b)
-        jax.block_until_ready(met["loss"])
-        reps = 20
-        start_t = time.perf_counter()
-        for _ in range(reps):
-            state, met = step(state, clean_b, noisy_b)
-        jax.block_until_ready(met["loss"])
-        sec = (time.perf_counter() - start_t) / reps
+        np.asarray(met["loss"])
+
+        def _step_once():
+            nonlocal state
+            state, m = step(state, clean_b, noisy_b)
+            return m
+
+        # ~0.5 TFLOP per step: BUR's broken fence under-measured this to
+        # an impossible MFU 1.35; the D2H-fenced slope is the real number.
+        sec = _throughput_seconds(
+            _step_once, lambda m: np.asarray(m["loss"]), reps_hi=30, reps_lo=6
+        )
         audio_sec = bsz * tcfg.trainset.crop_length_sec
         return {
             "step_ms": sec * 1000,

@@ -455,6 +455,7 @@ def main():
 
     result.update(_quality_fields())
     result.update(_quality48_fields())
+    result.update(_quality_large_fields())
     result.update(_int8_fields())
     print(json.dumps(result))
 
@@ -574,6 +575,30 @@ def _quality48_fields() -> dict:
         }
     except Exception as e:
         print(f"quality48 fields skipped: {e}", file=sys.stderr)
+        return {}
+
+
+def _quality_large_fields() -> dict:
+    """Quality of the trained 4.4M-param large16k artifact, merged
+    statically from QUALITYLARGE.json when the round's training run has
+    produced it (same protocol as the flagship; the live recompute is the
+    flagship's job — one live eval per bench run is enough)."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    qpath = os.path.join(repo, "QUALITYLARGE.json")
+    if not os.path.exists(qpath):
+        return {}
+    try:
+        with open(qpath) as f:
+            q = json.load(f)
+        return {
+            "quality_large_si_sdr_db": round(q["enhanced"]["si_sdr"], 3),
+            "quality_large_si_sdr_gain_db": round(
+                q["improvement"]["si_sdr"], 3
+            ),
+            "quality_large_stoi": round(q["enhanced"]["stoi"], 4),
+        }
+    except Exception as e:
+        print(f"quality-large fields skipped: {e}", file=sys.stderr)
         return {}
 
 

@@ -44,6 +44,28 @@ class TestPallasGRU:
         np.testing.assert_allclose(np.asarray(hT), np.asarray(ref_h), rtol=1e-4, atol=1e-5)
 
 
+class TestKernelPolicy:
+    def test_shape_policy_matches_fenced_measurements(self):
+        """The auto-selection predicate encodes the fenced end-to-end A/B
+        (bench.py r3): kernel for narrow long scans everywhere, kernel for
+        wide inference shapes only at hidden >= 256, scan for trainable
+        wide shapes and short scans."""
+        from tinyrecurrentunet_tpu.models.blocks import pallas_gru_shape_ok
+
+        # flagship offline TGRU: 16 rows x 251 steps
+        assert pallas_gru_shape_ok(16, 251, 128, False)
+        # flagship offline FGRU: 251 rows, hidden 64 -> scan (2.8x loss)
+        assert not pallas_gru_shape_ok(251, 16, 64, False)
+        # large16k offline FGRU: 251 rows, hidden 256 -> kernel (1.3x win)
+        assert pallas_gru_shape_ok(251, 17, 256, False)
+        # same shape during training -> scan (wide trainable unmeasured)
+        assert not pallas_gru_shape_ok(251, 17, 256, True)
+        # streaming step (length 1) -> never
+        assert not pallas_gru_shape_ok(16, 1, 128, False)
+        # wide training batch (B*T rows) -> scan (11x loss measured r2)
+        assert not pallas_gru_shape_ok(2008, 16, 256, True)
+
+
 class TestPallasGRUVJP:
     @pytest.mark.parametrize("batch,length,d,h,chunk,reverse", [
         (4, 20, 8, 16, 8, False),

@@ -89,6 +89,28 @@ class DepthwiseSeparableConv1d(nn.Module):
         return nn.relu(x)
 
 
+def pallas_gru_shape_ok(
+    rows: int, length: int, hidden: int, trainable: bool
+) -> bool:
+    """Shape classes where the Pallas GRU kernel beats `lax.scan` on TPU,
+    from the fenced end-to-end A/B `bench.py` records every round (see the
+    policy discussion in `GRU._scan`):
+
+    - narrow batch + long scan (rows <= 64, length >= 16): the
+      VMEM-resident carry wins or ties at every measured size;
+    - wide-but-bounded inference shapes with hidden >= 256 (the 4.4M
+      `large16k` variant, 251-row FGRU): per-step matmuls are big enough
+      that the kernel wins 1.2-1.3x end to end — inference only, because
+      the wide trainable path is unmeasured and r2 measured an 11x scan
+      win on wide flagship training batches;
+    - short scans (length < 16, e.g. streaming steps) never qualify: the
+      kernel only adds compile time.
+    """
+    return length >= 16 and (
+        rows <= 64 or (not trainable and hidden >= 256 and rows <= 512)
+    )
+
+
 class GRU(nn.Module):
     """Single-layer (optionally bidirectional) GRU with torch param layout.
 
@@ -133,17 +155,11 @@ class GRU(nn.Module):
         # bench.py records the flagship and large A/B every round so this
         # policy stays pinned to data.
         rows, length = x.shape[0], x.shape[1]
-        good_shape = length >= 16 and (
-            rows <= 64
-            or (
-                not self.trainable_kernel
-                and self.hidden >= 256
-                and rows <= 512
-            )
-        )
         if self.use_pallas == "always" or (
             self.use_pallas == "auto"
-            and good_shape
+            and pallas_gru_shape_ok(
+                rows, length, self.hidden, self.trainable_kernel
+            )
             and jax.default_backend() == "tpu"
         ):
             interpret = jax.default_backend() != "tpu"

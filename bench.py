@@ -276,8 +276,8 @@ def main():
         seconds = _throughput_seconds(
             lambda: offline_jit(vars_, audio_dev),
             lambda o: np.asarray(o[:1]),
-            reps_hi=60,
-            reps_lo=12,
+            reps_hi=120,
+            reps_lo=24,
         )
         return seconds / 2.0, _program_flops(compiled)
 

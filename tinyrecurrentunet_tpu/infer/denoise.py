@@ -35,7 +35,12 @@ class Denoiser:
         self.cfg = cfg
         self.model = TRUNet(cfg.network)
         self.featurizer = Featurizer(cfg.featurizer)
-        self.variables = variables
+        # Pin the weights on device ONCE. Loaders hand numpy trees
+        # (pretrained.npz, dequantized .trq), and jit re-transfers numpy
+        # arguments on EVERY call: measured 15 ms/call host->device upload
+        # for the 17 MB large16k tree — 60x the whole per-block budget —
+        # and each upload is leaked by the tunnel plugin (CLAUDE.md).
+        self.variables = jax.device_put(variables)
 
         def run(variables, audio):
             spec = self.featurizer.spectrogram(audio)

@@ -49,7 +49,9 @@ class MultiStreamDenoiser:
         self.cfg = cfg
         self.model = TRUNet(cfg.network)
         self.featurizer = Featurizer(fz_cfg)
-        self.variables = variables
+        # device_put once: numpy weight trees otherwise re-upload per call
+        # (see Denoiser.__init__ / StreamingDenoiser.__init__).
+        self.variables = jax.device_put(variables)
         self.num_streams = num_streams
         self.chunk_frames = chunk_frames
         self.frame_hop = fz_cfg.hop_length

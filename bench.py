@@ -219,6 +219,42 @@ def main():
     rtf_stream_48k = float(np.median(t48)) / block48_seconds
     misses48 = int(sum(t > block48_seconds for t in t48))
 
+    # ---- large-variant streaming per-block: the 4.4M shape must also
+    # hold real time (it does: ~0.24 ms/block once weights are pinned on
+    # device — the round-3 constructor fix). Random-init weights: latency
+    # is value-independent.
+    large_stream_fields = {}
+    try:
+        from tinyrecurrentunet_tpu.config import load_config
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        lcfg = load_config(os.path.join(repo, "config", "large16k.json"))
+        lmodel_s = TRUNet(lcfg.network)
+        lvars_s = lmodel_s.init(
+            jax.random.PRNGKey(0), featurizer(jnp.asarray(audio))[:2]
+        )
+        sdl = StreamingDenoiser(lcfg, lvars_s)
+        lstate = sdl.init_state()
+        for _ in range(10):
+            lout, lstate = sdl.process_block(lstate, block)
+        jax.block_until_ready(lout)
+        ltimes = []
+        for _ in range(200):
+            start = time.perf_counter()
+            lout, lstate = sdl.process_block(lstate, block)
+            lout.block_until_ready()
+            ltimes.append(time.perf_counter() - start)
+        large_stream_fields = {
+            "streaming_rtf_16k_large": round(
+                float(np.median(ltimes)) / block_seconds, 6
+            ),
+            "deadline_misses_large_per_200": int(
+                sum(t > block_seconds for t in ltimes)
+            ),
+        }
+    except Exception as e:
+        print(f"large streaming bench skipped: {e}", file=sys.stderr)
+
     # ---- one-time tunnel D2H handshake (~97 s for the first device->host
     # pull in a process), paid OUTSIDE all timers. Everything after this
     # point is throughput-measured via the D2H-fenced two-point slope
@@ -443,6 +479,7 @@ def main():
         "device_kind": getattr(device, "device_kind", "unknown"),
         "peak_bf16_tflops": peak / 1e12,
     }
+    result.update(large_stream_fields)
     result.update(large_fields)
     result.update(train_fields)
     if stream_flops:

@@ -100,7 +100,7 @@ def pallas_gru_shape_ok(
       VMEM-resident carry wins or ties at every measured size;
     - wide-but-bounded inference shapes with hidden >= 256 (the 4.4M
       `large16k` variant, 251-row FGRU): per-step matmuls are big enough
-      that the kernel wins 1.2-1.3x end to end — inference only, because
+      that the kernel wins ~1.25x median end to end — inference only, because
       the wide trainable path is unmeasured and r2 measured an 11x scan
       win on wide flagship training batches;
     - short scans (length < 16, e.g. streaming steps) never qualify: the

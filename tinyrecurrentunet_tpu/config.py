@@ -117,10 +117,11 @@ class NetworkConfig:
     phm_source: str = "bsigmoid"
     # Compute dtype for the forward pass ("float32" or "bfloat16").
     compute_dtype: str = "float32"
-    # Pallas GRU recurrence kernel for the inference path (ops/pallas_gru.py):
-    # "auto" = on TPU backends, "always" (interpreted off-TPU; for tests),
-    # "never". Training always uses the lax.scan path (the Pallas kernel has
-    # no backward yet).
+    # Pallas GRU recurrence kernel (ops/pallas_gru.py forward,
+    # ops/pallas_gru_vjp.py custom-VJP backward for training):
+    # "auto" = shape-based selection on TPU backends (wide recurrences win,
+    # models/blocks.py `pallas_gru_shape_ok`), "always" (interpreted off-TPU;
+    # for tests), "never" = pure lax.scan.
     use_pallas_gru: str = "auto"
 
     def __post_init__(self):

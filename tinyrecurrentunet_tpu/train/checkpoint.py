@@ -112,7 +112,9 @@ def check_artifact_meta(meta: dict, cfg, artifact: str):
     if not meta:
         return  # pre-round-3 artifact: nothing recorded, nothing to check
     expected = artifact_meta(cfg)
-    for key in ("phm_source", "channels"):
+    # sample_rate included (ADVICE r3: the 48 kHz artifact loaded under a
+    # 16 kHz config passed silently — identical shapes, wrong featurizer).
+    for key in ("phm_source", "channels", "sample_rate"):
         recorded = str(meta.get(key, "")) or None
         if recorded and recorded != str(expected[key]):
             raise ValueError(

@@ -62,7 +62,9 @@ def test_two_process_train_step_agrees():
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=900)
+        # 1200 s: two workers compile serially on this 1-core host under
+        # full-suite load; the workers' own barrier timeouts are 600 s.
+        out, err = p.communicate(timeout=1200)
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
         outs.append(out)
     losses = []

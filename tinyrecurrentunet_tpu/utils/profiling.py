@@ -37,6 +37,26 @@ def annotate(name: str):
         yield
 
 
+# Peak bf16 matmul throughput per chip (public figures). MFU is reported
+# against bf16 peak — the standard convention — even where parts of the
+# graph run f32.
+PEAK_BF16_FLOPS = (
+    ("TPU v6", 918e12),
+    ("TPU v5p", 459e12),
+    ("TPU v5 lite", 197e12),
+    ("TPU v5e", 197e12),
+    ("TPU v4", 275e12),
+)
+
+
+def peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", str(device))
+    for prefix, peak in PEAK_BF16_FLOPS:
+        if kind.startswith(prefix):
+            return peak
+    return 197e12
+
+
 def throughput_seconds(run_once, sync_probe, reps_hi: int, reps_lo: int,
                        repeats: int = 5) -> float:
     """Per-call device seconds via a two-point queued-run slope.

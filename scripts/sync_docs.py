@@ -189,14 +189,23 @@ def _quality_paragraph(q: dict, artifact: str, label: str) -> str:
     imp = q["improvement"]
     enh, base = q["enhanced"], q["noisy_baseline"]
     kinds = q["per_noise_kind"]
-    lines = [
+    head = (
         f"- {label} (`{artifact}`): SI-SDR **{_signed(imp['si_sdr'])} dB** "
         f"over the noisy input ({_fmt(base['si_sdr'], 2)} → "
         f"{_fmt(enh['si_sdr'], 2)} dB); STOI {_fmt(base['stoi'], 3)} → "
-        f"{_fmt(enh['stoi'], 3)}; perceptual axes fwSegSNR "
+        f"{_fmt(enh['stoi'], 3)}"
+    )
+    if "pesq_wb_est" in enh and "pesq_wb_est" in base:
+        head += (
+            f"; PESQ-est {_fmt(base['pesq_wb_est'], 2)} → "
+            f"{_fmt(enh['pesq_wb_est'], 2)}"
+        )
+    head += (
+        f"; perceptual axes fwSegSNR "
         f"{_signed(imp['fwsegsnr'])} dB, LLR {_signed(imp['llr'])}, "
         f"WSS {_signed(imp['wss'], 1)}"
-    ]
+    )
+    lines = [head]
     neg = [k for k, v in kinds.items() if v["si_sdr_gain_db"] <= 0]
     lo, hi = _kind_extremes(kinds)
     kindline = f"  - per-kind ({len(kinds)} kinds): {lo} … {hi}"

@@ -544,7 +544,7 @@ def _scaling_fields() -> dict:
         for batch in sorted({r["batch"] for r in ab}):
             scan = by_key.get((batch, "never"))
             pallas = by_key.get((batch, "always"))
-            if scan and pallas:
+            if scan and pallas and "step_ms" in scan and "step_ms" in pallas:
                 fields[f"train_pallas_gru_speedup_b{batch}"] = round(
                     scan["step_ms"] / pallas["step_ms"], 3
                 )

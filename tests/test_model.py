@@ -59,6 +59,31 @@ class TestGRUOps:
             h = gru_step(x[:, t], h, *params)
             np.testing.assert_allclose(np.asarray(h), np.asarray(full[:, t]), rtol=1e-5, atol=1e-6)
 
+    def test_unroll_matches_plain_scan(self, rng):
+        """`unroll` is a codegen knob, not a math change: every output and
+        the final carry must match the plain scan bit-for-bit-ish across
+        unroll factors, including lengths not divisible by the factor and
+        the reverse (FGRU) direction."""
+        B, L, D, H = 2, 13, 6, 4
+        x = jnp.asarray(rng.standard_normal((B, L, D)).astype(np.float32))
+        params = [
+            jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.3)
+            for s in [(D, 3 * H), (H, 3 * H), (3 * H,), (3 * H,)]
+        ]
+        h0 = jnp.zeros((B, H))
+        for reverse in (False, True):
+            base, base_h = gru_scan(x, h0, *params, reverse=reverse)
+            for unroll in (2, 4, 8):
+                out, h = gru_scan(
+                    x, h0, *params, reverse=reverse, unroll=unroll
+                )
+                np.testing.assert_allclose(
+                    np.asarray(out), np.asarray(base), rtol=1e-6, atol=1e-7
+                )
+                np.testing.assert_allclose(
+                    np.asarray(h), np.asarray(base_h), rtol=1e-6, atol=1e-7
+                )
+
     def test_conv_transpose_length(self, rng):
         # torch: L_out = (L-1)*s - 2p + k
         torch = pytest.importorskip("torch")

@@ -123,6 +123,12 @@ class NetworkConfig:
     # models/blocks.py `pallas_gru_shape_ok`), "always" (interpreted off-TPU;
     # for tests), "never" = pure lax.scan.
     use_pallas_gru: str = "auto"
+    # `lax.scan` unroll factor for the scan-based GRU path (ops/gru.py).
+    # The scan body is a tiny matmul, so full-sequence passes are XLA
+    # loop-overhead-bound (train MFU ~3%, BENCH_r03); unrolling amortizes
+    # the per-iteration overhead without changing the math. 1 = plain
+    # scan; the Pallas kernel paths ignore it.
+    gru_scan_unroll: int = 1
 
     def __post_init__(self):
         object.__setattr__(self, "encoder", _freeze(tuple(map(tuple, self.encoder))))

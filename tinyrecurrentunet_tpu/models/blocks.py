@@ -132,6 +132,7 @@ class GRU(nn.Module):
 
     use_pallas: str = "never"  # "auto" | "always" | "never"
     trainable_kernel: bool = False  # use the custom-VJP kernel (training)
+    scan_unroll: int = 1  # lax.scan unroll factor (ops/gru.py gru_scan)
 
     def _scan(self, x, h0, params, reverse=False):
         # Kernel selection is by SHAPE, from measured truth on TPU v5e
@@ -176,7 +177,9 @@ class GRU(nn.Module):
             return gru_scan_pallas(
                 x, h0, *params, reverse=reverse, interpret=interpret
             )
-        return gru_ops.gru_scan(x, h0, *params, reverse=reverse)
+        return gru_ops.gru_scan(
+            x, h0, *params, reverse=reverse, unroll=self.scan_unroll
+        )
 
     @nn.compact
     def __call__(self, x, h0=None):
@@ -201,6 +204,7 @@ class GRUBlock(nn.Module):
     bidirectional: bool = False
     dtype: Dtype = jnp.float32
     use_pallas_gru: str = "auto"
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(self, x, h0=None, train: bool = False):
@@ -212,6 +216,7 @@ class GRUBlock(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas_gru,
             trainable_kernel=train,
+            scan_unroll=self.scan_unroll,
         )(x, h0)
         out = nn.Dense(self.out_features, dtype=self.dtype)(out)
         out = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(out)

@@ -87,6 +87,7 @@ class TRUNet(nn.Module):
             bidirectional=True,
             dtype=dtype,
             use_pallas_gru=cfg.use_pallas_gru,
+            scan_unroll=cfg.gru_scan_unroll,
         )(z, train=train)
 
         # TGRU: (B*T, Fb, C) -> (B*Fb, T, C), scan over time with carry.
@@ -101,6 +102,7 @@ class TRUNet(nn.Module):
             cfg.tgru_out,
             dtype=dtype,
             use_pallas_gru=cfg.use_pallas_gru,
+            scan_unroll=cfg.gru_scan_unroll,
         )(z, h0=h0, train=train)
         tgru_h = h_final.reshape(batch, fb, cfg.tgru_hidden)
         z = z.reshape(batch, fb, time, cfg.tgru_out)

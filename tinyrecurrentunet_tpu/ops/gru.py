@@ -61,6 +61,7 @@ def gru_scan(
     bi: jax.Array,
     bh: jax.Array,
     reverse: bool = False,
+    unroll: int = 1,
 ):
     """Full-sequence GRU.
 
@@ -69,6 +70,12 @@ def gru_scan(
       h0: (B, H) initial hidden state.
       reverse: scan right-to-left (for the bidirectional FGRU); outputs stay
         aligned with the input positions (torch bidirectional semantics).
+      unroll: `lax.scan` unroll factor. The scan body is a tiny
+        (B, H) x (H, 3H) matmul, so at flagship widths each iteration is
+        XLA loop-overhead-bound, not FLOP-bound (train MFU ~3%,
+        BENCH_r03); unrolling amortizes that overhead over N bodies per
+        loop trip without changing the math (same HLO per step —
+        equivalence pinned by test).
 
     Returns:
       (outputs (B, L, H), final_hidden (B, H)).
@@ -80,5 +87,5 @@ def gru_scan(
         h_next = _gates(x_proj_t, h, wh, bh)
         return h_next, h_next
 
-    h_final, ys = jax.lax.scan(body, h0, xs, reverse=reverse)
+    h_final, ys = jax.lax.scan(body, h0, xs, reverse=reverse, unroll=unroll)
     return jnp.swapaxes(ys, 0, 1), h_final

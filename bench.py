@@ -548,6 +548,22 @@ def _scaling_fields() -> dict:
                 fields[f"train_pallas_gru_speedup_b{batch}"] = round(
                     scan["step_ms"] / pallas["step_ms"], 3
                 )
+            elif pallas and pallas.get("oom"):
+                # The custom-VJP kernel's un-rematerialized residuals OOM
+                # HBM at this batch (SCALING.json) — record that as the
+                # A/B verdict rather than silence.
+                fields[f"train_pallas_gru_b{batch}"] = "oom"
+        base16 = next(
+            (r for r in s.get("scaling", [])
+             if r.get("batch") == 16 and r.get("dtype") == "float32"
+             and "step_ms" in r),
+            None,
+        )
+        for r in s.get("train_unroll_ab", []):
+            if base16 and "step_ms" in r:
+                fields[f"train_gru_unroll{r['gru_scan_unroll']}_speedup"] = (
+                    round(base16["step_ms"] / r["step_ms"], 3)
+                )
         return fields
     except Exception as e:
         print(f"scaling fields skipped: {e}", file=sys.stderr)

@@ -86,6 +86,35 @@ def test_run_study_orchestration(tmp_path, monkeypatch):
         (r["batch"], r["use_pallas_gru"]) for r in on_disk["train_kernel_ab"]
     }
     assert kinds == {(4, "never"), (4, "always"), (8, "never"), (8, "always")}
+    # the unroll A/B runs on the flagship (first) batch
+    assert [
+        (r["batch"], r["gru_scan_unroll"]) for r in on_disk["train_unroll_ab"]
+    ] == [(4, 4), (4, 8)]
+
+
+def test_run_study_halves_kernel_ab_batch_on_oom(tmp_path, monkeypatch):
+    """When the Pallas-VJP side OOMs (it holds un-rematerialized residuals,
+    SCALING.json round 4: OOM at batch>=16 while scan fits to 96), the A/B
+    must walk down to a batch where BOTH kernels fit instead of recording
+    only an unpaired failure."""
+
+    def fake_measure(cfg, batch, compute_dtype, use_pallas_gru=None, **kw):
+        if use_pallas_gru == "always" and batch >= 8:
+            raise RuntimeError("RESOURCE_EXHAUSTED: hbm")
+        return {"batch": batch, "dtype": compute_dtype, "step_ms": 10.0,
+                "steps_per_sec": 100.0, "audio_sec_per_sec": 50.0,
+                "mfu": 0.01, "gflops_per_step": 1.0}
+
+    monkeypatch.setattr(scaling, "measure_train_step", fake_measure)
+    result = scaling.run_study(_tiny_config(), [8], None)
+    ab = result["train_kernel_ab"]
+    assert {(r["batch"], r["use_pallas_gru"]) for r in ab if "step_ms" in r} == {
+        (8, "never"), (4, "never"), (4, "always")
+    }
+    assert any(
+        r.get("oom") and r["batch"] == 8 and r["use_pallas_gru"] == "always"
+        for r in ab
+    )
 
 
 def test_cli_rejects_missing_config():

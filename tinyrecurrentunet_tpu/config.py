@@ -124,10 +124,11 @@ class NetworkConfig:
     # for tests), "never" = pure lax.scan.
     use_pallas_gru: str = "auto"
     # `lax.scan` unroll factor for the scan-based GRU path (ops/gru.py).
-    # The scan body is a tiny matmul, so full-sequence passes are XLA
-    # loop-overhead-bound (train MFU ~3%, BENCH_r03); unrolling amortizes
-    # the per-iteration overhead without changing the math. 1 = plain
-    # scan; the Pallas kernel paths ignore it.
+    # Measured on real v5e (SCALING.json train_unroll_ab): unroll 4/8
+    # cost ~4% on the flagship train step (100.4 -> 104.5 ms) — the ~3%
+    # train MFU is bound by the serial recurrence chain, not XLA loop
+    # control — so every shipped config keeps 1 (plain scan). The knob
+    # stays for other geometries; the Pallas kernel paths ignore it.
     gru_scan_unroll: int = 1
 
     def __post_init__(self):

@@ -70,12 +70,12 @@ def gru_scan(
       h0: (B, H) initial hidden state.
       reverse: scan right-to-left (for the bidirectional FGRU); outputs stay
         aligned with the input positions (torch bidirectional semantics).
-      unroll: `lax.scan` unroll factor. The scan body is a tiny
-        (B, H) x (H, 3H) matmul, so at flagship widths each iteration is
-        XLA loop-overhead-bound, not FLOP-bound (train MFU ~3%,
-        BENCH_r03); unrolling amortizes that overhead over N bodies per
-        loop trip without changing the math (same HLO per step —
-        equivalence pinned by test).
+      unroll: `lax.scan` unroll factor; same math, same HLO per step
+        (equivalence pinned by test). Measured on real v5e
+        (SCALING.json train_unroll_ab): no win at flagship shapes —
+        unroll 4/8 cost ~4% on the train step, so the ~3% train MFU is
+        bound by the serial recurrence chain, not XLA loop control.
+        Shipped configs keep 1.
 
     Returns:
       (outputs (B, L, H), final_hidden (B, H)).

@@ -38,9 +38,10 @@ def _program_flops(compiled) -> float | None:
 
 def measure_train_step(
     cfg, batch: int, compute_dtype: str, use_pallas_gru: str | None = None,
+    gru_scan_unroll: int | None = None,
     reps_hi: int = 30, reps_lo: int = 6,
 ) -> dict:
-    """Steps/s + MFU for one (batch, dtype, kernel) configuration."""
+    """Steps/s + MFU for one (batch, dtype, kernel, unroll) configuration."""
     import jax
     import jax.numpy as jnp
 
@@ -52,6 +53,8 @@ def measure_train_step(
     net = dataclasses.replace(cfg.network, compute_dtype=compute_dtype)
     if use_pallas_gru is not None:
         net = dataclasses.replace(net, use_pallas_gru=use_pallas_gru)
+    if gru_scan_unroll is not None:
+        net = dataclasses.replace(net, gru_scan_unroll=gru_scan_unroll)
     tcfg = dataclasses.replace(
         cfg,
         network=net,
@@ -145,18 +148,48 @@ def run_study(cfg, batches, out_path: str | None) -> dict:
     # Pallas-VJP training kernel A/B on the flagship batch and the largest
     # NON-OOM batch (VERDICT r3 weak #4: the trainable kernel shipped three
     # rounds ago and was never measured on the shapes it was built for).
+    # Measured truth (round 4, real v5e): the custom-VJP kernel saves its
+    # per-step residuals without XLA's remat, so it OOMs HBM at batch>=16
+    # while the scan path fits to 96; when an "always" row OOMs, halve the
+    # batch until both kernels fit so the study always lands a comparable
+    # pair (at batch 8 the pair measured 64.1 vs 63.0 ms — a wash).
     ok_batches = sorted({r["batch"] for r in rows if not r.get("oom")})
     kernel_ab = []
     for batch in sorted({ok_batches[0], ok_batches[-1]}) if ok_batches else []:
-        for kernel in ("never", "always"):
+        while batch >= 2:
+            pair = []
+            for kernel in ("never", "always"):
+                row = _measure_or_oom(
+                    cfg, batch, "float32", use_pallas_gru=kernel
+                )
+                row["use_pallas_gru"] = kernel
+                pair.append(row)
+                print(json.dumps(row), flush=True)
+            kernel_ab.extend(pair)
+            if all("step_ms" in r for r in pair):
+                break
+            batch //= 2
+
+    # lax.scan unroll A/B at the flagship batch (the loop-overhead
+    # hypothesis for the ~3% MFU). Measured truth (round 4): unroll 4/8
+    # cost ~4% (100.4 -> 104.5 ms) — the bound is the serial recurrence
+    # chain itself, not XLA loop control, so shipped configs keep unroll=1.
+    unroll_ab = []
+    flagship = ok_batches[0] if ok_batches else None
+    if flagship is not None:
+        for unroll in (4, 8):
             row = _measure_or_oom(
-                cfg, batch, "float32", use_pallas_gru=kernel
+                cfg, flagship, "float32", gru_scan_unroll=unroll
             )
-            row["use_pallas_gru"] = kernel
-            kernel_ab.append(row)
+            row["gru_scan_unroll"] = unroll
+            unroll_ab.append(row)
             print(json.dumps(row), flush=True)
 
-    result = {"scaling": rows, "train_kernel_ab": kernel_ab}
+    result = {
+        "scaling": rows,
+        "train_kernel_ab": kernel_ab,
+        "train_unroll_ab": unroll_ab,
+    }
     if out_path:
         with open(out_path, "w") as f:
             json.dump(result, f, indent=2)

@@ -153,6 +153,45 @@ class TestGenerators:
         # every kind still appears
         assert set(KIND_SCHEDULE) == set(NOISE_KINDS)
 
+    def test_train_kind_schedule_oversamples_pure_reverb(self):
+        """Training oversamples pure 'reverb' (round 4: at 4/11 the model
+        passed reverb through, -0.06 dB vs a +3.4 dB ideal-mask oracle);
+        the eval schedule stays KIND_SCHEDULE so testsets are unchanged."""
+        from tinyrecurrentunet_tpu.data.procgen import (
+            TRAIN_KIND_SCHEDULE,
+            REVERB_KINDS,
+        )
+
+        pure = TRAIN_KIND_SCHEDULE.count("reverb") / len(TRAIN_KIND_SCHEDULE)
+        total = sum(
+            k in REVERB_KINDS for k in TRAIN_KIND_SCHEDULE
+        ) / len(TRAIN_KIND_SCHEDULE)
+        assert pure >= 0.2 and 0.3 <= total <= 0.5
+        assert set(TRAIN_KIND_SCHEDULE) == set(NOISE_KINDS)
+
+    def test_train_drr_range_wetter_than_eval(self):
+        """The training DRR draw reaches below synth_rir's eval default
+        floor (-2 dB) so strong late tails are represented, and the
+        dataset's reverb items actually differ from the eval draw."""
+        from tinyrecurrentunet_tpu.data.procgen import (
+            TRAIN_DRR_RANGE,
+            TRAIN_KIND_SCHEDULE,
+            make_item_pair,
+        )
+
+        assert TRAIN_DRR_RANGE[0] < -2.0 <= TRAIN_DRR_RANGE[1]
+        rng1 = np.random.default_rng(42)
+        rng2 = np.random.default_rng(42)
+        clean = synth_speech(np.random.default_rng(1), SR // 2, SR)
+        idx = TRAIN_KIND_SCHEDULE.index("reverb")
+        assert TRAIN_KIND_SCHEDULE[idx] == "reverb"
+        t1, w1, _ = make_item_pair(
+            clean, rng1, SR, "reverb", (-5.0, 25.0), drr_range=(-6.0, -5.9)
+        )
+        t2, w2, _ = make_item_pair(clean, rng2, SR, "reverb", (-5.0, 25.0))
+        # a -6 dB DRR tail carries visibly more energy than the default draw
+        assert not np.allclose(w1, w2)
+
     def test_unknown_noise_kind_raises(self):
         with pytest.raises(ValueError):
             synth_noise(np.random.default_rng(0), SR, SR, "nope")

@@ -160,6 +160,12 @@ class TestQualityPipeline:
             enhanced_dir=str(tmp_path / "enh"),
         )
         assert set(result) >= {"testset", "enhanced", "noisy_baseline", "improvement"}
+        # the per-condition breakdown carries the perceptual axes too
+        # (the reverb rows are judged on fwSegSNR/PESQ-est, not SI-SDR alone)
+        for row in result["per_noise_kind"].values():
+            assert {"si_sdr_gain_db", "stoi_gain", "fwsegsnr_gain_db",
+                    "pesq_est_gain"} <= set(row)
+            assert np.isfinite(row["fwsegsnr_gain_db"])
         for section in ("enhanced", "noisy_baseline"):
             assert np.isfinite(result[section]["si_sdr"])
             assert 0.0 <= result[section]["stoi"] <= 1.0

@@ -74,6 +74,22 @@ ADDITIVE_KINDS = tuple(k for k in NOISE_KINDS if k not in REVERB_KINDS)
 # represented to learn; the paper's title claims it as a co-equal task).
 KIND_SCHEDULE = ADDITIVE_KINDS + REVERB_KINDS + REVERB_KINDS
 
+# TRAINING-ONLY schedule (ProceduralSpeechDataset): pure 'reverb' gets a
+# third slot (25% of items; reverberant total 5/12). Rationale, measured
+# round 4: with the 4/11 schedule the flagship scored -0.06 dB SI-SDR on
+# pure reverb while an ideal magnitude mask gains only +3.4 dB on these
+# items (baseline wet-vs-early50ms is already ~11 dB) — the L1/MR-STFT
+# losses are absolute-error, so the small reverb residual is out-gradiented
+# by -5 dB additive items and the model learns to pass reverb through (and
+# sometimes over-suppress: min -2.58 dB). Oversampling restores gradient
+# share without touching the eval recipe (testsets keep KIND_SCHEDULE).
+TRAIN_KIND_SCHEDULE = ADDITIVE_KINDS + ("reverb",) * 3 + ("noisy_reverb",) * 2
+
+# Training-only DRR range: wider/wetter than synth_rir's eval default
+# (-2..+8 dB) so strong late tails — where suppression is learnable and
+# the eval items with the worst baselines live — are well represented.
+TRAIN_DRR_RANGE = (-6.0, 8.0)
+
 # Training/eval target for reverberant items: the clean speech convolved
 # with the RIR's direct path + first 50 ms of early reflections. Early
 # reflections fuse perceptually with the direct sound (precedence effect)
@@ -306,6 +322,7 @@ def make_item_pair(
     sr: int,
     kind: str,
     snr_range: tuple[float, float],
+    drr_range: tuple[float, float] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, dict]:
     """Build one (target, degraded, info) corpus item.
 
@@ -320,10 +337,13 @@ def make_item_pair(
       denoise+dereverb condition.
 
     `info` records kind plus snr_db and/or rt60 as applicable.
+    `drr_range` overrides synth_rir's default direct-to-reverberant ratio
+    draw (training passes TRAIN_DRR_RANGE; eval/testsets leave it None).
     """
     if kind in REVERB_KINDS:
         rt60 = float(rng.uniform(0.2, 0.9))
-        rir = synth_rir(rng, sr, rt60=rt60)
+        drr = float(rng.uniform(*drr_range)) if drr_range else None
+        rir = synth_rir(rng, sr, rt60=rt60, drr_db=drr)
         wet = reverberate(clean, rir)
         target = early_reverb_target(clean, rir, sr)
         info = {"kind": kind, "rt60": rt60}
@@ -409,9 +429,12 @@ class ProceduralSpeechDataset:
             return self._cache[index]
         item_rng = np.random.default_rng((self.seed, index))
         clean = synth_speech(item_rng, self.length, self.sample_rate)
-        kind = KIND_SCHEDULE[index % len(KIND_SCHEDULE)]
+        # Training uses the reverb-oversampled schedule + wetter DRR draw
+        # (see TRAIN_KIND_SCHEDULE rationale); testsets keep KIND_SCHEDULE.
+        kind = TRAIN_KIND_SCHEDULE[index % len(TRAIN_KIND_SCHEDULE)]
         target, noisy, _ = make_item_pair(
-            clean, item_rng, self.sample_rate, kind, self.snr_range
+            clean, item_rng, self.sample_rate, kind, self.snr_range,
+            drr_range=TRAIN_DRR_RANGE,
         )
         item = (target, noisy, f"proc_{index}")
         if self._cache is not None:

@@ -193,6 +193,8 @@ def run_quality_eval(
 
     from tinyrecurrentunet_tpu.data.procgen import NOISE_KINDS
     from tinyrecurrentunet_tpu.infer.metrics import si_sdr, stoi
+    from tinyrecurrentunet_tpu.infer.perceptual import fwsegsnr
+    from tinyrecurrentunet_tpu.infer.pesq_est import pesq_estimate
 
     snr_buckets = ((-5, 0), (0, 10), (10, 20), (20, 25))
     per_kind: dict[str, list] = {}
@@ -233,7 +235,23 @@ def run_quality_eval(
             )
         except ValueError:  # clip too short/silent for STOI framing
             stoi_delta = float("nan")
-        per_kind.setdefault(kind, []).append((delta, stoi_delta))
+        # Perceptual axes per condition: plain SI-SDR punishes the time
+        # smearing a dereverberator cannot undo, so the reverb rows need
+        # spectral-envelope metrics to show what actually improved
+        # (VERDICT r3 weak #3 / next-round item 2).
+        fwseg_delta = float(
+            fwsegsnr(clean[:n], enh[:n], sr) - fwsegsnr(clean[:n], noisy[:n], sr)
+        )
+        try:
+            pesq_delta = float(
+                pesq_estimate(clean[:n], enh[:n], sr)
+                - pesq_estimate(clean[:n], noisy[:n], sr)
+            )
+        except ValueError:  # clip outside the estimator's framing regime
+            pesq_delta = float("nan")
+        per_kind.setdefault(kind, []).append(
+            (delta, stoi_delta, fwseg_delta, pesq_delta)
+        )
         if snr_m:
             snr = int(snr_m.group(1))
             for lo, hi in snr_buckets:
@@ -244,10 +262,16 @@ def run_quality_eval(
                     break
     kind_summary = {
         k: {
-            "si_sdr_gain_db": round(float(np.mean([d for d, _ in v])), 3),
-            "min": round(float(np.min([d for d, _ in v])), 3),
-            "max": round(float(np.max([d for d, _ in v])), 3),
-            "stoi_gain": round(float(np.nanmean([s for _, s in v])), 4),
+            "si_sdr_gain_db": round(float(np.mean([d for d, *_ in v])), 3),
+            "min": round(float(np.min([d for d, *_ in v])), 3),
+            "max": round(float(np.max([d for d, *_ in v])), 3),
+            "stoi_gain": round(float(np.nanmean([s for _, s, *_ in v])), 4),
+            "fwsegsnr_gain_db": round(
+                float(np.mean([f for _, _, f, _ in v])), 3
+            ),
+            "pesq_est_gain": round(
+                float(np.nanmean([p for _, _, _, p in v])), 3
+            ),
             "n": len(v),
         }
         for k, v in sorted(per_kind.items())

@@ -166,6 +166,12 @@ class TestQualityPipeline:
             assert {"si_sdr_gain_db", "stoi_gain", "fwsegsnr_gain_db",
                     "pesq_est_gain"} <= set(row)
             assert np.isfinite(row["fwsegsnr_gain_db"])
+        # oracle ceilings embedded alongside the measured gains
+        assert result["oracle"]["all"]["n"] == 3
+        assert (
+            result["oracle"]["all"]["cplx_mask_gain_db"]
+            >= result["oracle"]["all"]["mag_mask_gain_db"]
+        )
         for section in ("enhanced", "noisy_baseline"):
             assert np.isfinite(result[section]["si_sdr"])
             assert 0.0 <= result[section]["stoi"] <= 1.0

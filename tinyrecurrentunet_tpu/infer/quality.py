@@ -301,6 +301,18 @@ def run_quality_eval(
         "per_noise_kind": kind_summary,
         "per_snr_bucket": bucket_summary,
     }
+    # Ideal-mask oracle ceilings per condition (infer/oracle.py): the
+    # denominator per-kind gains must be read against — on this testset
+    # the reverb row's magnitude-mask oracle is only ~+3.4 dB while the
+    # additive rows' is ~+7..10 dB, so equal-looking fractions of the
+    # attainable show up as very different absolute SI-SDR gains.
+    from tinyrecurrentunet_tpu.infer.oracle import oracle_report
+
+    result["oracle"] = oracle_report(
+        testset_dir,
+        n_fft=cfg.featurizer.n_fft,
+        hop=cfg.featurizer.hop_length,
+    )
     result["improvement"] = {
         k: result["enhanced"][k] - result["noisy_baseline"][k]
         for k in result["enhanced"]

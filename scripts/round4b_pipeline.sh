@@ -150,7 +150,13 @@ run_step quality16b 7200 python -m tinyrecurrentunet_tpu.infer.quality \
     --int8 /tmp/r4b_artifacts/TRUNet-proc/model_int8.trq \
     --out /tmp/r4b_QUALITY.json
 
-# 2. large16k retrain.
+# 2. Full pytest suite in the TPU-idle window (single-core host: the
+# suite must never overlap a TPU trainer's dispatch loop, CLAUDE.md).
+# Runs between the flagship and large retrains so the round always gets a
+# fresh full-suite result even if the large retrain doesn't fit.
+run_cpu suiteb 3600 python -m pytest tests/ -q
+
+# 3. large16k retrain (best-effort: only if round time remains).
 run_train trainlargeb TRUNet-large \
     python -m tinyrecurrentunet_tpu.train.loop -c config/large16k.json --procedural
 run_cpu artifactlargeb 1800 env JAX_PLATFORMS=cpu \

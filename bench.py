@@ -97,6 +97,27 @@ def main():
         jax.random.PRNGKey(0), featurizer(jnp.asarray(audio))[:2]
     )
 
+    # ---- dispatch canary: per-call BUR latency of a trivial program.
+    # The per-block numbers below are dispatch-bound, and this rig has two
+    # dispatch regimes: ~0.1-0.4 ms normally, ~26 ms for every
+    # block_until_ready after the process's first device->host pull (the
+    # round-4 preview shipped a 67x-poisoned headline because a closure
+    # capture silently D2H'd the weight tree at trace time —
+    # infer/streaming.py). The canary makes the regime visible in the
+    # artifact so a poisoned run can never masquerade as a slow model.
+    tiny = jax.jit(lambda x: x * 1.0000001 + 1.0)
+    cx = jnp.zeros((8,), jnp.float32)
+    cx = tiny(cx)
+    cx.block_until_ready()
+    _canary_times = []
+    for _ in range(30):
+        _start = time.perf_counter()
+        cx = tiny(cx)
+        cx.block_until_ready()
+        _canary_times.append(time.perf_counter() - _start)
+    dispatch_canary_ms = float(np.median(_canary_times)) * 1e3
+    dispatch_degraded = dispatch_canary_ms > 2.0
+
     # ---- streaming: block-by-block with carried state
     sd = StreamingDenoiser(cfg, variables)
     state = sd.init_state()
@@ -438,7 +459,7 @@ def main():
 
     # ---- MFU: program FLOPs / (measured seconds * chip peak)
     stream_flops = _program_flops(
-        sd._step.lower(sd.init_state(), block).compile()
+        sd._step.lower(sd.variables, sd.init_state(), block).compile()
     )
     n_frames = 2 * sample_rate // hop
     mfu_stream = (
@@ -462,6 +483,8 @@ def main():
             round(m / block_seconds, 6) for m in hl["run_medians_s"]
         ],
         "value_spread": round(hl["spread_s"] / block_seconds, 6),
+        "dispatch_canary_ms": round(dispatch_canary_ms, 4),
+        "dispatch_degraded": dispatch_degraded,
         "median_block_ms": round(median_step * 1000, 4),
         "p99_block_ms": round(p99_step * 1000, 4),
         "max_block_ms": round(max_step * 1000, 4),

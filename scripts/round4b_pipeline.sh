@@ -156,18 +156,11 @@ run_step quality16b 7200 python -m tinyrecurrentunet_tpu.infer.quality \
 # fresh full-suite result even if the large retrain doesn't fit.
 run_cpu suiteb 3600 python -m pytest tests/ -q
 
-# 3. large16k retrain (best-effort: only if round time remains).
-run_train trainlargeb TRUNet-large \
-    python -m tinyrecurrentunet_tpu.train.loop -c config/large16k.json --procedural
-run_cpu artifactlargeb 1800 env JAX_PLATFORMS=cpu \
-    python -m tinyrecurrentunet_tpu.train.export_pretrained \
-    -c config/large16k.json --out /tmp/r4b_artifacts/TRUNet-large
-run_cpu quantlargeb 1800 env JAX_PLATFORMS=cpu \
-    python -m tinyrecurrentunet_tpu.export.quantize \
-    -c config/large16k.json --pretrained /tmp/r4b_artifacts/TRUNet-large
-run_step qualitylargeb 7200 python -m tinyrecurrentunet_tpu.infer.quality \
-    -c config/large16k.json --pretrained /tmp/r4b_artifacts/TRUNet-large \
-    --int8 /tmp/r4b_artifacts/TRUNet-large/model_int8.trq \
-    --out /tmp/r4b_QUALITYLARGE.json
+# The large16k retrain was dropped from this round: it would still be
+# training when the driver runs the round-end bench on this chip, and a
+# concurrent trainer poisons every latency-shaped number (single host,
+# single core). The committed large artifact already scores all-positive
+# per-kind rows; the reverb-emphasized corpus retrain for it is round-5
+# work.
 
 say "=== round-4b pipeline complete ==="

@@ -62,12 +62,13 @@ class MultiStreamDenoiser:
         model, featurizer = self.model, self.featurizer
         k, hop, n_fft = chunk_frames, self.frame_hop, self.n_fft
 
-        # Weights closed over -> executable constants; per-call flattening
-        # covers only (state, blocks) (see StreamingDenoiser — same
-        # dispatch-cost rationale on the serving path).
-        variables_c = self.variables
+        # Weights passed as an EXPLICIT jit argument — closure capture
+        # would bake them into the HLO as literals, reading the whole tree
+        # device->host at trace time and flipping the axon plugin into its
+        # ~26 ms-per-block_until_ready regime for the rest of the process
+        # (see StreamingDenoiser — same poisoning, measured on the bench).
 
-        def step(state: MultiStreamState, blocks: jax.Array):
+        def step(variables, state: MultiStreamState, blocks: jax.Array):
             """blocks (N, k*hop) -> (out (N, k*hop), new state)."""
             full = jnp.concatenate([state.in_buffer, blocks], axis=-1)
             frames = frame_signal(full, n_fft, hop)[:, 1:]  # (N, k, n_fft)
@@ -84,7 +85,7 @@ class MultiStreamDenoiser:
             )  # feats (k, N, F, C)
             feats = jnp.swapaxes(feats, 0, 1)  # (N, k, F, C)
 
-            output, tgru_h = model.apply(variables_c, feats, state.tgru_h)
+            output, tgru_h = model.apply(variables, feats, state.tgru_h)
             spec_out = denoised_spec_from_output(
                 output,
                 featurizer,
@@ -105,7 +106,7 @@ class MultiStreamDenoiser:
                 full[:, k * hop :], feat_state, tgru_h, ola
             )
 
-        self._step = jax.jit(step, donate_argnums=(0,))
+        self._step = jax.jit(step, donate_argnums=(1,))
 
     def init_state(self) -> MultiStreamState:
         n, f = self.num_streams, self.cfg.featurizer.num_freqs
@@ -123,7 +124,7 @@ class MultiStreamDenoiser:
 
     def process_block(self, state: MultiStreamState, blocks):
         """blocks (N, chunk_frames*hop) in -> same shape (delayed) out."""
-        out, state = self._step(state, jnp.asarray(blocks))
+        out, state = self._step(self.variables, state, jnp.asarray(blocks))
         return out, state
 
     def process(self, audio: np.ndarray):

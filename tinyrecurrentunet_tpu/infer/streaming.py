@@ -95,28 +95,30 @@ class StreamingDenoiser:
             )
             return out, feat_state, tgru_h, ola
 
-        # The weight tree is CLOSED OVER, not passed per call: jit hoists
-        # the captured device arrays into the executable as constants, so
-        # each block call flattens only (state, block) instead of the
-        # ~100-leaf parameter tree — measurable Python dispatch on the
-        # 8 ms real-time budget (VERDICT r3 weak #1: the per-block median
-        # is dispatch-bound; this is the controllable part of it).
-        variables_c = self.variables
+        # The weight tree is passed as an EXPLICIT jit argument, never
+        # captured in the closure. Tracing a closure over concrete arrays
+        # bakes them into the HLO as dense literals, which READS the whole
+        # device-pinned tree back to host at trace time — and after the
+        # first device->host pull the axon plugin makes every subsequent
+        # block_until_ready wait a full ~26 ms tunnel round-trip, so one
+        # closure capture poisons per-block latency for the ENTIRE process
+        # (measured: bench preview headline 0.38 ms -> 25.9 ms/block).
+        # The per-call pytree flatten this would have saved is microseconds.
 
-        def step(state: StreamState, block: jax.Array):
+        def step(variables, state: StreamState, block: jax.Array):
             # slide the analysis window; frame the k new positions
             full = jnp.concatenate([state.in_buffer, block])  # n_fft + k*hop
             frames = frame_signal(full, n_fft, hop)[1:]  # (k, n_fft)
             specs = jnp.fft.rfft(frames, n=n_fft, axis=-1)
-            out, feat_state, tgru_h, ola = core(variables_c, state, specs)
+            out, feat_state, tgru_h, ola = core(variables, state, specs)
             return out, StreamState(full[k * hop :], feat_state, tgru_h, ola)
 
-        def step_from_spec(state: StreamState, spec_t: jax.Array):
-            out, feat_state, tgru_h, ola = core(variables_c, state, spec_t[None])
+        def step_from_spec(variables, state: StreamState, spec_t: jax.Array):
+            out, feat_state, tgru_h, ola = core(variables, state, spec_t[None])
             return out, StreamState(state.in_buffer, feat_state, tgru_h, ola)
 
-        self._step = jax.jit(step, donate_argnums=(0,))
-        self._step_from_spec = jax.jit(step_from_spec, donate_argnums=(0,))
+        self._step = jax.jit(step, donate_argnums=(1,))
+        self._step_from_spec = jax.jit(step_from_spec, donate_argnums=(1,))
 
     def init_state(self) -> StreamState:
         return StreamState(
@@ -128,7 +130,7 @@ class StreamingDenoiser:
 
     def process_block(self, state: StreamState, block):
         """chunk_frames*hop samples in -> the same number (delayed) out."""
-        out, state = self._step(state, jnp.asarray(block))
+        out, state = self._step(self.variables, state, jnp.asarray(block))
         return out, state
 
     def process_spec_frame(self, state: StreamState, spec_t):
@@ -138,7 +140,9 @@ class StreamingDenoiser:
         Only meaningful with chunk_frames == 1."""
         if self.chunk_frames != 1:
             raise ValueError("process_spec_frame requires chunk_frames=1")
-        out, state = self._step_from_spec(state, jnp.asarray(spec_t))
+        out, state = self._step_from_spec(
+            self.variables, state, jnp.asarray(spec_t)
+        )
         return out, state
 
     def process(self, audio: np.ndarray):

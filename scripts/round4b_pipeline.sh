@@ -53,11 +53,18 @@ run_train() {
         say "start $stamp attempt $attempt: $*"
         "$@" >"/tmp/r4b_${stamp}.log" 2>&1 &
         local pid=$!
+        # Age is measured from max(metrics mtime, THIS attempt's start):
+        # a stale metrics.jsonl left by a killed earlier attempt otherwise
+        # trips the watchdog 60 s into every retry (measured: attempt 2
+        # killed at metrics age 1362 s before its first write).
+        local started=$(date +%s)
         local grace=1200
         while kill -0 "$pid" 2>/dev/null; do
             sleep 60
             if [ -f "$mfile" ]; then
-                local age=$(( $(date +%s) - $(stat -c %Y "$mfile") ))
+                local ref=$(stat -c %Y "$mfile")
+                [ "$ref" -lt "$started" ] && ref=$started
+                local age=$(( $(date +%s) - ref ))
                 if [ "$age" -gt "$grace" ]; then
                     say "$stamp stalled (metrics age ${age}s) — killing $pid"
                     kill "$pid" 2>/dev/null

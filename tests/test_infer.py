@@ -121,6 +121,47 @@ class TestStreaming:
         streamed, _ = sd.process(audio[:1000])  # non-multiple of hop
         assert streamed.shape == (1000,)
 
+    def test_step_embeds_no_weight_constants(self, setup16k):
+        """The jitted block step must take the weight tree as an explicit
+        argument, never a closure capture: tracing a closure over concrete
+        arrays bakes them into the HLO as dense literals, which reads the
+        whole device tree back to host at trace time — and on the TPU
+        tunnel one such pull flips every later block_until_ready into a
+        ~26 ms round-trip for the rest of the process (round 4: a 67x
+        poisoned bench headline, CLAUDE.md). Guard: the lowered step text
+        carries no large dense constant."""
+        import re
+
+        from tinyrecurrentunet_tpu.infer.multistream import MultiStreamDenoiser
+
+        cfg, model, fz, variables, audio = setup16k
+        sd = StreamingDenoiser(cfg, variables)
+        msd = MultiStreamDenoiser(cfg, variables, num_streams=2)
+        block = jnp.zeros((sd.hop,), jnp.float32)
+        blocks = jnp.zeros((2, msd.hop), jnp.float32)
+        for text in (
+            sd._step.lower(sd.variables, sd.init_state(), block).as_text(),
+            msd._step.lower(
+                msd.variables, msd.init_state(), blocks
+            ).as_text(),
+        ):
+            # dense<...> literals above ~64 elements would be captured
+            # weights (biases/kernels are hundreds+); small shape/window
+            # constants are fine.
+            for m in re.finditer(r"dense<\[([^>]{0,100000})\]>", text):
+                n_elems = m.group(1).count(",") + 1
+                assert n_elems <= 64, (
+                    f"large dense constant ({n_elems} elems) baked into the "
+                    "streaming step HLO — a closure captured the weights"
+                )
+            # large literals print as hex blobs with no commas
+            for m in re.finditer(r'dense<"0x([0-9a-fA-F]*)"', text):
+                assert len(m.group(1)) <= 512, (
+                    f"large hex constant ({len(m.group(1)) // 2} bytes) "
+                    "baked into the streaming step HLO — a closure "
+                    "captured the weights"
+                )
+
 
 class TestMultiStream:
     def test_matches_independent_streams(self, setup16k, rng):

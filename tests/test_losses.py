@@ -197,3 +197,80 @@ class TestCompositeLoss:
         )
         for a, b in zip(jax.tree.leaves(bs), jax.tree.leaves(variables["batch_stats"])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestPerItemNorm:
+    """LossConfig.per_item_norm (VERDICT r4 next #1): per-item noise-RMS
+    loss normalization so -5 dB additive items stop dominating the
+    gradient over small-residual reverb items."""
+
+    def test_weights_equal_rms_are_ones(self, rng):
+        from tinyrecurrentunet_tpu.losses import per_item_weights
+
+        clean = jnp.asarray(rng.standard_normal((3, 4000)).astype(np.float32) * 0.1)
+        noise = rng.standard_normal((3, 4000)).astype(np.float32)
+        # scale every row to exactly the same noise RMS
+        noise /= np.sqrt(np.mean(noise**2, axis=-1, keepdims=True))
+        w = np.asarray(per_item_weights(clean, clean + jnp.asarray(noise)))
+        assert w.shape == (3, 1)
+        np.testing.assert_allclose(w, 1.0, rtol=1e-4)
+
+    def test_weights_equalize_and_clip(self, rng):
+        from tinyrecurrentunet_tpu.losses import per_item_weights
+
+        clean = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32) * 0.1)
+        noise = rng.standard_normal((2, 4000)).astype(np.float32)
+        noise /= np.sqrt(np.mean(noise**2, axis=-1, keepdims=True))
+        noise[1] *= 30.0  # a -5 dB item next to a 25 dB item
+        w = np.asarray(per_item_weights(clean, clean + jnp.asarray(noise)))
+        # the loud-noise item is down-weighted, the quiet one up-weighted,
+        # and the spread is capped at the [1/4, 4] clip
+        assert w[0, 0] > w[1, 0]
+        assert w[0, 0] == pytest.approx(4.0, rel=1e-3)  # 15.5/1 clipped
+        assert w[1, 0] == pytest.approx(15.5 / 30.0, rel=1e-2)
+
+    def test_loss_matches_unnormalized_for_uniform_batch(self, rng):
+        """With equal per-item noise RMS all weights are 1, so the
+        normalized loss must equal the unnormalized one exactly."""
+        fz = Featurizer(FeaturizerConfig())
+        ncfg = NetworkConfig()
+        model = TRUNet(ncfg)
+        clean = jnp.asarray(rng.standard_normal((2, 12800)).astype(np.float32) * 0.1)
+        noise = rng.standard_normal((2, 12800)).astype(np.float32)
+        noise /= np.sqrt(np.mean(noise**2, axis=-1, keepdims=True))
+        noisy = clean + 0.02 * jnp.asarray(noise)
+        variables = model.init(jax.random.PRNGKey(0), fz(noisy))
+        args = (model.apply, variables["params"], variables["batch_stats"],
+                clean, noisy, fz, ncfg)
+        base, _, _, _ = loss_fn(*args, LossConfig(noise_stft_lambda=0.5))
+        normed, _, _, _ = loss_fn(
+            *args, LossConfig(noise_stft_lambda=0.5, per_item_norm=True)
+        )
+        assert float(normed) == pytest.approx(float(base), rel=1e-4)
+
+    def test_jit_grad_finite_with_norm(self, rng):
+        fz = Featurizer(FeaturizerConfig())
+        ncfg = NetworkConfig()
+        model = TRUNet(ncfg)
+        clean = jnp.asarray(rng.standard_normal((2, 12800)).astype(np.float32) * 0.1)
+        noise = rng.standard_normal((2, 12800)).astype(np.float32)
+        noise[1] *= 25.0
+        noisy = clean + 0.02 * jnp.asarray(noise)
+        variables = model.init(jax.random.PRNGKey(0), fz(noisy))
+        lcfg = LossConfig(noise_stft_lambda=0.5, per_item_norm=True)
+
+        @jax.jit
+        def step(p):
+            def inner(p):
+                loss, d, _, _ = loss_fn(
+                    model.apply, p, variables["batch_stats"], clean, noisy,
+                    fz, ncfg, lcfg,
+                )
+                return loss
+            return jax.value_and_grad(inner)(p)
+
+        loss, grads = step(variables["params"])
+        assert np.isfinite(float(loss))
+        flat = jax.tree.leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+        assert any(np.any(np.asarray(g) != 0) for g in flat)

@@ -72,6 +72,9 @@ class TestPallasGRUVJP:
         (4, 20, 8, 16, 8, True),
         (3, 13, 8, 16, 8, False),   # padding path
         (16, 33, 64, 128, 16, False),  # TGRU-like shapes
+        # wide training rows (> the 512-row tile): exercises the row-tiling
+        # grid axis + row padding that fixed the r4 VMEM OOM (VERDICT #4)
+        (520, 12, 8, 16, 8, False),
     ])
     def test_grads_match_lax_scan(self, rng, batch, length, d, h, chunk, reverse):
         from tinyrecurrentunet_tpu.ops.pallas_gru_vjp import gru_scan_pallas_trainable

@@ -291,3 +291,70 @@ class TestMaterializedTestset:
             wa, _ = read_wav(os.path.join(a, sub, fa))
             wb, _ = read_wav(os.path.join(b, sub, fb))
             assert np.array_equal(wa, wb)
+
+
+class TestDiverseBabble:
+    """Training-only babble diversification (VERDICT r4 next #2): the
+    training crowd draws from a wider synthesizer distribution than the
+    target speaker; eval/testset babble recipes are untouched."""
+
+    def test_deterministic_and_normalized(self):
+        from tinyrecurrentunet_tpu.data.procgen import synth_noise
+
+        a = synth_noise(
+            np.random.default_rng(5), 16000, 16000, "babble",
+            babble_style="diverse",
+        )
+        b = synth_noise(
+            np.random.default_rng(5), 16000, 16000, "babble",
+            babble_style="diverse",
+        )
+        np.testing.assert_array_equal(a, b)
+        assert np.sqrt(np.mean(a**2)) == pytest.approx(1.0, rel=1e-3)
+
+    def test_differs_from_eval_babble(self):
+        from tinyrecurrentunet_tpu.data.procgen import synth_noise
+
+        ev = synth_noise(np.random.default_rng(5), 16000, 16000, "babble")
+        dv = synth_noise(
+            np.random.default_rng(5), 16000, 16000, "babble",
+            babble_style="diverse",
+        )
+        assert not np.allclose(ev, dv)
+
+    def test_eval_recipe_unchanged_by_flag_default(self):
+        """make_item_pair without babble_style reproduces the committed
+        testset recipe bit-for-bit (testsets must not shift under the
+        training-only diversification)."""
+        from tinyrecurrentunet_tpu.data.procgen import make_item_pair, synth_speech
+
+        rng1 = np.random.default_rng((7_000_000, 4))
+        clean1 = synth_speech(rng1, 16000, 16000)
+        t1, n1, i1 = make_item_pair(clean1, rng1, 16000, "babble", (-5.0, 25.0))
+        rng2 = np.random.default_rng((7_000_000, 4))
+        clean2 = synth_speech(rng2, 16000, 16000)
+        t2, n2, i2 = make_item_pair(clean2, rng2, 16000, "babble", (-5.0, 25.0))
+        np.testing.assert_array_equal(n1, n2)
+        assert i1 == i2
+
+    def test_training_dataset_uses_diverse_babble(self):
+        """A ProceduralSpeechDataset babble item must differ from the same
+        (seed, index) item built with the eval babble recipe."""
+        from tinyrecurrentunet_tpu.data.procgen import (
+            TRAIN_DRR_RANGE,
+            TRAIN_KIND_SCHEDULE,
+            ProceduralSpeechDataset,
+            make_item_pair,
+            synth_speech,
+        )
+
+        idx = TRAIN_KIND_SCHEDULE.index("babble")
+        ds = ProceduralSpeechDataset(num_items=idx + 1, length_sec=1.0,
+                                     sample_rate=16000, seed=3)
+        _, noisy_train, _ = ds.get(idx)
+        rng = np.random.default_rng((3, idx))
+        clean = synth_speech(rng, 16000, 16000)
+        _, noisy_eval, _ = make_item_pair(
+            clean, rng, 16000, "babble", ds.snr_range, drr_range=TRAIN_DRR_RANGE
+        )
+        assert not np.allclose(noisy_train, noisy_eval)

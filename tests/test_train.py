@@ -468,3 +468,32 @@ class TestTrainLoop:
         # resume continues from the saved step
         state2, _ = train(cfg, dataset=ds, max_iters=5, log_dir=str(tmp_path / "logs"))
         assert int(state2.step) == 5
+
+
+class TestTrainComputeDtype:
+    """OptimizationConfig.train_compute_dtype: bf16 forward pass during
+    training only (the SCALING.json measured-best regime), f32 master
+    weights, f32 export/eval untouched."""
+
+    def test_bf16_train_keeps_f32_params_and_finite_loss(self, tmp_path):
+        from tinyrecurrentunet_tpu.train.loop import train
+
+        cfg = small_config(
+            batch_size_per_device=2, train_compute_dtype="bfloat16"
+        )
+        cfg = dataclasses.replace(
+            cfg,
+            train=dataclasses.replace(
+                cfg.train,
+                log=LogConfig(
+                    directory=str(tmp_path), iters_per_ckpt=100, iters_per_valid=1
+                ),
+            ),
+        )
+        ds = SyntheticPairDataset(num_items=4, length_sec=0.5, sample_rate=16000)
+        state, metrics = train(
+            cfg, dataset=ds, max_iters=2, log_dir=str(tmp_path / "l")
+        )
+        assert np.isfinite(float(metrics["loss"]))
+        for leaf in jax.tree.leaves(state.params):
+            assert leaf.dtype == jnp.float32

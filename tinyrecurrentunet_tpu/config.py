@@ -191,6 +191,20 @@ class LossConfig:
     # weights noise-spectrum accuracy highly at high SNR where the noise is
     # small - exactly where masking errors are most audible.
     noise_stft_lambda: float = 0.0
+    # Per-item loss normalization (VERDICT r4 weak #1 / next #1): scale each
+    # batch item's (denoised, clean, noisy) triple by
+    #   w_i = mean_b rms(noise_b) / rms(noise_i),   noise = noisy - clean,
+    # clipped to [1/4, 4], before the waveform L1 / MR-STFT terms. Without
+    # it those terms are absolute-error means over the batch, so -5 dB
+    # additive items (noise rms up to ~30x the 25 dB items) dominate the
+    # gradient and the small-residual reverb items are out-gradiented —
+    # measured round 4: the flagship scored -0.06 dB SI-SDR on pure reverb
+    # (QUALITY.json) while its additive rows were strongly positive, and
+    # reverb oversampling alone did not move it (commit 7d98f52). The
+    # log-magnitude term is invariant to w (log a·Y - log a·X); spectral
+    # convergence and L1 become per-item-relative. Mean-relative scaling
+    # keeps the overall loss magnitude comparable, so the LR transfers.
+    per_item_norm: bool = False
     stft_config: STFTLossConfig = dataclasses.field(default_factory=STFTLossConfig)
 
 
@@ -224,6 +238,14 @@ class OptimizationConfig:
     # boundary). 0 disables (whole-clip BPTT, the reference regime). This is
     # the long-context strategy for clips beyond the 2 s crop (SURVEY.md §5).
     tbptt_segment_sec: float = 0.0
+    # TRAIN-ONLY forward-pass dtype override ("" = use network.compute_dtype).
+    # Promoted to "bfloat16" in the shipped quality configs: the measured
+    # batch-scaling study (SCALING.json, real v5e) puts b64/bf16 at 476
+    # audio-s/s vs the old b16/f32 319 — 49% more throughput for a measured
+    # -0.002 dB quality delta (bench.py quality_bf16_delta_db). Scoped to
+    # training so the exported artifact still evaluates/serves in f32;
+    # master weights stay f32 either way (models/blocks.py casts at use).
+    train_compute_dtype: str = ""
 
 
 @dataclasses.dataclass(frozen=True)

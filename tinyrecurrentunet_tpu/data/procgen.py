@@ -217,10 +217,53 @@ def synth_speech(rng: np.random.Generator, length: int, sr: int) -> np.ndarray:
     return out.astype(np.float32)
 
 
+def _synth_babble_diverse(rng: np.random.Generator, length: int, sr: int) -> np.ndarray:
+    """TRAINING-ONLY babble: a crowd that is acoustically distinct from the
+    target speaker.
+
+    The eval babble (below) sums 5 voices from the SAME synthesizer-parameter
+    distribution as the target — separating it is blind same-distribution
+    speaker separation, and the round-4 flagship reached only 6% of the
+    babble oracle ceiling (+0.40 dB of +6.66 dB attainable, QUALITY.json vs
+    ORACLE.json; VERDICT r4 weak #2). Here each interferer is resampled by a
+    random factor (shifting f0 AND formants — a different vocal tract and
+    speaking rate), level-spread over 12 dB, and half the voices are
+    lowpassed (distance/occlusion), so the crowd's statistics separate from
+    the foreground speaker's. Testset recipes are untouched: only
+    ProceduralSpeechDataset passes babble_style="diverse".
+    """
+    x = np.zeros(length, np.float64)
+    n_voices = int(rng.integers(4, 9))
+    for _ in range(n_voices):
+        factor = float(rng.uniform(0.7, 1.4))
+        src_len = int(length * factor) + 2
+        voice = synth_speech(rng, src_len, sr).astype(np.float64)
+        # linear resample: time axis scaled by `factor` => pitch, formants,
+        # and speaking rate all shift together, like a different talker
+        voice = np.interp(
+            np.arange(length) * factor, np.arange(src_len), voice
+        )
+        if rng.uniform() < 0.5:
+            voice = lowpass_biquad(
+                voice, sr, float(rng.uniform(1200.0, min(6000.0, 0.4 * sr)))
+            ).astype(np.float64)
+        gain = 10.0 ** (rng.uniform(-12.0, 0.0) / 20.0)
+        x += gain * voice
+    return x
+
+
 def synth_noise(
-    rng: np.random.Generator, length: int, sr: int, kind: str | None = None
+    rng: np.random.Generator,
+    length: int,
+    sr: int,
+    kind: str | None = None,
+    babble_style: str = "eval",
 ) -> np.ndarray:
-    """One noise waveform of the requested kind, unit-ish RMS."""
+    """One noise waveform of the requested kind, unit-ish RMS.
+
+    babble_style: "eval" (the fixed 5-same-synth-voice recipe all testsets
+    use) or "diverse" (training-only, see _synth_babble_diverse).
+    """
     if kind is None:
         kind = ADDITIVE_KINDS[rng.integers(len(ADDITIVE_KINDS))]
     if kind == "white":
@@ -242,9 +285,12 @@ def synth_noise(
             )
         x += 0.05 * rng.standard_normal(length)
     elif kind == "babble":
-        x = np.zeros(length)
-        for _ in range(5):
-            x += synth_speech(rng, length, sr).astype(np.float64)
+        if babble_style == "diverse":
+            x = _synth_babble_diverse(rng, length, sr)
+        else:
+            x = np.zeros(length)
+            for _ in range(5):
+                x += synth_speech(rng, length, sr).astype(np.float64)
     elif kind == "clicks":
         x = np.zeros(length)
         n_clicks = max(int(length / sr * rng.uniform(3, 12)), 1)
@@ -323,6 +369,7 @@ def make_item_pair(
     kind: str,
     snr_range: tuple[float, float],
     drr_range: tuple[float, float] | None = None,
+    babble_style: str = "eval",
 ) -> tuple[np.ndarray, np.ndarray, dict]:
     """Build one (target, degraded, info) corpus item.
 
@@ -348,12 +395,12 @@ def make_item_pair(
         target = early_reverb_target(clean, rir, sr)
         info = {"kind": kind, "rt60": rt60}
         if kind == "noisy_reverb":
-            noise = synth_noise(rng, len(clean), sr)
+            noise = synth_noise(rng, len(clean), sr, babble_style=babble_style)
             snr = float(rng.uniform(*snr_range))
             wet = mix_at_snr(wet, noise, snr)
             info["snr_db"] = snr
         return target, wet, info
-    noise = synth_noise(rng, len(clean), sr, kind)
+    noise = synth_noise(rng, len(clean), sr, kind, babble_style=babble_style)
     snr = float(rng.uniform(*snr_range))
     return clean, mix_at_snr(clean, noise, snr), {"kind": kind, "snr_db": snr}
 
@@ -430,11 +477,12 @@ class ProceduralSpeechDataset:
         item_rng = np.random.default_rng((self.seed, index))
         clean = synth_speech(item_rng, self.length, self.sample_rate)
         # Training uses the reverb-oversampled schedule + wetter DRR draw
-        # (see TRAIN_KIND_SCHEDULE rationale); testsets keep KIND_SCHEDULE.
+        # (see TRAIN_KIND_SCHEDULE rationale) + the diversified babble crowd
+        # (_synth_babble_diverse); testsets keep KIND_SCHEDULE + eval babble.
         kind = TRAIN_KIND_SCHEDULE[index % len(TRAIN_KIND_SCHEDULE)]
         target, noisy, _ = make_item_pair(
             clean, item_rng, self.sample_rate, kind, self.snr_range,
-            drr_range=TRAIN_DRR_RANGE,
+            drr_range=TRAIN_DRR_RANGE, babble_style="diverse",
         )
         item = (target, noisy, f"proc_{index}")
         if self._cache is not None:

@@ -6,4 +6,7 @@ from tinyrecurrentunet_tpu.losses.mrstft import (  # noqa: F401
     log_stft_magnitude_loss,
 )
 from tinyrecurrentunet_tpu.losses.cossim import cossim_loss  # noqa: F401
-from tinyrecurrentunet_tpu.losses.composite import loss_fn  # noqa: F401
+from tinyrecurrentunet_tpu.losses.composite import (  # noqa: F401
+    loss_fn,
+    per_item_weights,
+)

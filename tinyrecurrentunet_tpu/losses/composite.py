@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
+import jax
 import jax.numpy as jnp
 
 from tinyrecurrentunet_tpu.config import LossConfig, NetworkConfig
@@ -22,6 +23,16 @@ from tinyrecurrentunet_tpu.losses.cossim import cossim_loss
 from tinyrecurrentunet_tpu.losses.mrstft import MultiResolutionSTFTLoss
 from tinyrecurrentunet_tpu.models.phm import denoise_output_to_audio
 from tinyrecurrentunet_tpu.signal.features import Featurizer
+
+
+def per_item_weights(clean_audio: jnp.ndarray, noisy_audio: jnp.ndarray) -> jnp.ndarray:
+    """Per-item loss weights w_i = mean_b rms(noise_b) / rms(noise_i), clipped
+    to [1/4, 4] (config.py LossConfig.per_item_norm rationale). Shape (B, 1)
+    for (B, L) inputs; constant w.r.t. params (data-only)."""
+    noise_ref = noisy_audio - clean_audio
+    rms = jnp.sqrt(jnp.mean(noise_ref * noise_ref, axis=-1) + 1e-10)
+    w = jnp.clip(jnp.mean(rms) / (rms + 1e-6), 0.25, 4.0)
+    return jax.lax.stop_gradient(w)[..., None]
 
 
 def loss_fn(
@@ -75,8 +86,19 @@ def loss_fn(
     loss_dict = {}
     loss = 0.0
 
+    # Per-item normalization (config.py LossConfig.per_item_norm): equalize
+    # each item's gradient share by scaling its waveform triple with the
+    # batch-mean-relative inverse noise RMS. w depends only on the data
+    # (never on params), so it is a constant weighting of the loss surface.
+    clean_eff, noisy_eff = clean_audio, noisy_audio
+    if loss_config.per_item_norm and clean_audio.ndim >= 2:
+        w = per_item_weights(clean_audio, noisy_audio)
+        denoised = denoised * w
+        clean_eff = clean_audio * w
+        noisy_eff = noisy_audio * w
+
     # ell_p reconstruction loss on the waveform (reference `util.py:239-243`).
-    err = denoised - clean_audio
+    err = denoised - clean_eff
     if loss_config.ell_p == 1:
         ell_p_loss = jnp.mean(jnp.abs(err))
     elif loss_config.ell_p == 2:
@@ -89,7 +111,7 @@ def loss_fn(
     # Multi-resolution STFT loss (reference `util.py:246-250`).
     if loss_config.stft_lambda > 0:
         mrstft = MultiResolutionSTFTLoss(loss_config.stft_config)
-        sc_loss, mag_loss = mrstft(denoised, clean_audio)
+        sc_loss, mag_loss = mrstft(denoised, clean_eff)
         loss += (sc_loss + mag_loss) * loss_config.stft_lambda
         loss_dict["stft_sc"] = sc_loss * loss_config.stft_lambda
         loss_dict["stft_mag"] = mag_loss * loss_config.stft_lambda
@@ -99,13 +121,13 @@ def loss_fn(
     # same bank configuration as the speech-side term.
     if loss_config.noise_stft_lambda > 0:
         mrstft_n = MultiResolutionSTFTLoss(loss_config.stft_config)
-        n_sc, n_mag = mrstft_n(noisy_audio - denoised, noisy_audio - clean_audio)
+        n_sc, n_mag = mrstft_n(noisy_eff - denoised, noisy_eff - clean_eff)
         loss += (n_sc + n_mag) * loss_config.noise_stft_lambda
         loss_dict["noise_stft"] = (n_sc + n_mag) * loss_config.noise_stft_lambda
 
     # Optional cosine-similarity term (reference capability, D18 fixed).
     if loss_config.cossim_lambda > 0:
-        cs = cossim_loss(denoised, clean_audio)
+        cs = cossim_loss(denoised, clean_eff)
         loss += loss_config.cossim_lambda * cs
         loss_dict["cossim"] = cs
 

@@ -97,7 +97,15 @@ def train(
             shard_index=jax.process_index(),
         )
 
-    model = TRUNet(cfg.network)
+    # Train-only compute-dtype override (OptimizationConfig.train_compute_dtype):
+    # the measured-best training regime is bf16 (SCALING.json) while export/
+    # eval of the same f32 master weights stays f32.
+    net_cfg = cfg.network
+    if opt.train_compute_dtype:
+        import dataclasses as _dc
+
+        net_cfg = _dc.replace(cfg.network, compute_dtype=opt.train_compute_dtype)
+    model = TRUNet(net_cfg)
     state = create_train_state(cfg, jax.random.PRNGKey(opt.seed), model)
     if jax.process_index() == 0:
         print_size(state.params, "TRUNet")

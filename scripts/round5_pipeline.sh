@@ -1,25 +1,26 @@
 #!/bin/bash
-# Round-5 unattended TPU pipeline: retrain the remaining artifacts on the
-# reverb-emphasized TRAIN_KIND_SCHEDULE corpus (data/procgen.py: 25% pure
-# reverb training share, TRAIN_DRR_RANGE -6..+8 dB).
+# Round-5 unattended TPU pipeline (VERDICT r4 "next round" items):
+#   0. Pallas trainable-GRU A/B at production batches (post row-tiling fix,
+#      VERDICT #4) -> SCALING.json train_kernel_ab (no more "oom" rows
+#      expected; if the kernel still loses, the session deletes it).
+#   1. Flagship 16k retrain with ALL round-5 levers (per-item loss norm,
+#      diverse babble, b64/bf16; VERDICT #1/#2/#3)
+#      -> /tmp/r5_artifacts/TRUNet-proc + /tmp/r5_QUALITY.json
+#   2. 48 kHz retrain (b16/bf16)  -> /tmp/r5_QUALITY48.json
+#   3. large16k retrain (b16/bf16) -> /tmp/r5_QUALITYLARGE.json
+#   4. 60 s native-ring soak (VERDICT #6) -> /tmp/r5_SOAK.json
+#   5. full pytest suite in the TPU-idle window
 #
-# Round 4b retrained ONLY the 16 kHz flagship on that corpus (large16k was
-# deferred: its trainer would have collided with the round-4 driver bench
-# on this single-chip, single-core host). This script finishes the job:
-#   1. large16k retrain  -> scratch /tmp/r5_artifacts/TRUNet-large
-#   2. 48 kHz retrain    -> scratch /tmp/r5_artifacts/TRUNet-proc48
-#   3. full pytest suite in the TPU-idle window
-#
-# Outputs go to scratch; the session compares /tmp/r5_QUALITY*.json against
-# the committed QUALITY*.json and only promotes artifacts that actually
-# improved (the committed large reverb row is the target: +0.46 dB vs the
-# +3.35 dB ideal-magnitude-mask oracle, ORACLE.json).
+# Candidate outputs land in /tmp; the session compares against the
+# committed QUALITY*.json (scripts/compare_quality.py) and only promotes
+# artifacts that improved (reverb row >= +0.5 dB and babble >= +2.0 dB are
+# the round-5 gates for the flagship; no other kind may regress > 0.25 dB).
 #
 # Stamps in /tmp/r5_stamps; logs /tmp/round5_pipe.log + /tmp/r5_<stamp>.log.
 set -u
 cd /root/repo
 STAMPS=/tmp/r5_stamps
-mkdir -p "$STAMPS"
+mkdir -p "$STAMPS" /tmp/r5_artifacts
 LOG=/tmp/round5_pipe.log
 exec >>"$LOG" 2>&1
 
@@ -127,45 +128,68 @@ run_cpu() {
 
 say "=== round-5 pipeline start ==="
 
-# Fresh retrains on the kind-schedule corpus: wipe old checkpoints once.
-for exp in TRUNet-large TRUNet-proc48; do
+# Fresh retrains with the round-5 levers: wipe old checkpoints once.
+for exp in TRUNet-proc TRUNet-proc48 TRUNet-large; do
     if [ ! -f "$STAMPS/wipe5_$exp" ]; then
         rm -rf "ckpt/$exp"
         touch "$STAMPS/wipe5_$exp"
-        say "wiped ckpt/$exp for the kind-schedule retrain"
+        say "wiped ckpt/$exp for the round-5 retrain"
     fi
 done
 
-# 1. large16k retrain (the Pallas-kernel flagship, 55k iters).
-run_train trainlarge5 TRUNet-large \
-    python -m tinyrecurrentunet_tpu.train.loop -c config/large16k.json --procedural
-run_cpu artifactlarge5 1800 env JAX_PLATFORMS=cpu \
-    python -m tinyrecurrentunet_tpu.train.export_pretrained \
-    -c config/large16k.json --out /tmp/r5_artifacts/TRUNet-large
-run_cpu quantlarge5 1800 env JAX_PLATFORMS=cpu \
-    python -m tinyrecurrentunet_tpu.export.quantize \
-    -c config/large16k.json --pretrained /tmp/r5_artifacts/TRUNet-large
-run_step qualitylarge5 7200 python -m tinyrecurrentunet_tpu.infer.quality \
-    -c config/large16k.json --pretrained /tmp/r5_artifacts/TRUNet-large \
-    --int8 /tmp/r5_artifacts/TRUNet-large/model_int8.trq \
-    --out /tmp/r5_QUALITYLARGE.json
+# 0. Pallas trainable-kernel A/B at production shapes (post-fix).
+run_step kernelab5 5400 python -m tinyrecurrentunet_tpu.train.scaling \
+    -c config/proc16k.json --kernel_ab_only --batches 8,16,64 \
+    --ab_dtypes float32,bfloat16 --out SCALING.json
 
-# 2. 48 kHz retrain (30k iters).
-run_train train48b TRUNet-proc48 \
+# 1. Flagship retrain: per-item norm + diverse babble + b64/bf16.
+run_train train16 TRUNet-proc \
+    python -m tinyrecurrentunet_tpu.train.loop -c config/proc16k.json --procedural
+run_cpu artifact16 1800 env JAX_PLATFORMS=cpu \
+    python -m tinyrecurrentunet_tpu.train.export_pretrained \
+    -c config/proc16k.json --out /tmp/r5_artifacts/TRUNet-proc
+run_cpu quant16 1800 env JAX_PLATFORMS=cpu \
+    python -m tinyrecurrentunet_tpu.export.quantize \
+    -c config/proc16k.json --pretrained /tmp/r5_artifacts/TRUNet-proc
+run_step quality16 7200 python -m tinyrecurrentunet_tpu.infer.quality \
+    -c config/proc16k.json --pretrained /tmp/r5_artifacts/TRUNet-proc \
+    --int8 /tmp/r5_artifacts/TRUNet-proc/model_int8.trq \
+    --out /tmp/r5_QUALITY.json
+
+# 2. 48 kHz retrain (b16/bf16 + both quality levers).
+run_train train48 TRUNet-proc48 \
     python -m tinyrecurrentunet_tpu.train.loop -c config/proc48k.json --procedural
-run_cpu artifact48b 1800 env JAX_PLATFORMS=cpu \
+run_cpu artifact48 1800 env JAX_PLATFORMS=cpu \
     python -m tinyrecurrentunet_tpu.train.export_pretrained \
     -c config/proc48k.json --out /tmp/r5_artifacts/TRUNet-proc48
-run_cpu quant48b 1800 env JAX_PLATFORMS=cpu \
+run_cpu quant48 1800 env JAX_PLATFORMS=cpu \
     python -m tinyrecurrentunet_tpu.export.quantize \
     -c config/proc48k.json --pretrained /tmp/r5_artifacts/TRUNet-proc48
-run_step quality48b 7200 python -m tinyrecurrentunet_tpu.infer.quality \
+run_step quality48 7200 python -m tinyrecurrentunet_tpu.infer.quality \
     -c config/proc48k.json --pretrained /tmp/r5_artifacts/TRUNet-proc48 \
     --int8 /tmp/r5_artifacts/TRUNet-proc48/model_int8.trq \
     --out /tmp/r5_QUALITY48.json
 
-# 3. Full pytest suite in the TPU-idle window (single-core host:
+# 3. large16k retrain (b16/bf16 + both quality levers).
+run_train trainlarge TRUNet-large \
+    python -m tinyrecurrentunet_tpu.train.loop -c config/large16k.json --procedural
+run_cpu artifactlarge 1800 env JAX_PLATFORMS=cpu \
+    python -m tinyrecurrentunet_tpu.train.export_pretrained \
+    -c config/large16k.json --out /tmp/r5_artifacts/TRUNet-large
+run_cpu quantlarge 1800 env JAX_PLATFORMS=cpu \
+    python -m tinyrecurrentunet_tpu.export.quantize \
+    -c config/large16k.json --pretrained /tmp/r5_artifacts/TRUNet-large
+run_step qualitylarge 7200 python -m tinyrecurrentunet_tpu.infer.quality \
+    -c config/large16k.json --pretrained /tmp/r5_artifacts/TRUNet-large \
+    --int8 /tmp/r5_artifacts/TRUNet-large/model_int8.trq \
+    --out /tmp/r5_QUALITYLARGE.json
+
+# 4. 60 s wall-clock soak through the native rings (VERDICT #6).
+run_step soak5 900 python -m tinyrecurrentunet_tpu.infer.soak \
+    -c config/proc16k.json --duration 60 --out /tmp/r5_SOAK.json
+
+# 5. Full pytest suite in the TPU-idle window (single-core host:
 # never overlap a TPU trainer's dispatch loop, CLAUDE.md).
-run_cpu suite5 3600 python -m pytest tests/ -q
+run_cpu suite5 3600 python -m pytest tests/ -q -x
 
 say "=== round-5 pipeline complete ==="

@@ -197,6 +197,33 @@ def run_study(cfg, batches, out_path: str | None) -> dict:
     return result
 
 
+def run_kernel_ab(cfg, batches, out_path: str | None, dtypes=("float32",)) -> list:
+    """Focused Pallas-VJP training-kernel A/B (VERDICT r4 next #4): measure
+    scan vs trainable-kernel at the given batches/dtypes and REPLACE the
+    train_kernel_ab block of an existing study file (the ladder itself is
+    not re-run). Used after the round-5 row-tiling fix to re-judge the
+    kernel at the production shapes where round 4 measured OOM."""
+    kernel_ab = []
+    for batch in batches:
+        for dtype in dtypes:
+            for kernel in ("never", "always"):
+                row = _measure_or_oom(cfg, batch, dtype, use_pallas_gru=kernel)
+                row["use_pallas_gru"] = kernel
+                kernel_ab.append(row)
+                print(json.dumps(row), flush=True)
+    if out_path:
+        try:
+            with open(out_path) as f:
+                result = json.load(f)
+        except (OSError, ValueError):
+            result = {"scaling": [], "train_unroll_ab": []}
+        result["train_kernel_ab"] = kernel_ab
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=2)
+        print(f"wrote {out_path}")
+    return kernel_ab
+
+
 def main():
     import jax
 
@@ -207,13 +234,22 @@ def main():
     parser.add_argument("-c", "--config", required=True)
     parser.add_argument("--batches", default="16,32,64,128")
     parser.add_argument("--out", default="SCALING.json")
+    parser.add_argument(
+        "--kernel_ab_only", action="store_true",
+        help="only re-measure the Pallas training-kernel A/B at --batches, "
+        "merging into --out",
+    )
+    parser.add_argument("--ab_dtypes", default="float32")
     args = parser.parse_args()
 
     from tinyrecurrentunet_tpu.config import load_config
 
     cfg = load_config(args.config)
     batches = [int(b) for b in args.batches.split(",")]
-    run_study(cfg, batches, args.out)
+    if args.kernel_ab_only:
+        run_kernel_ab(cfg, batches, args.out, tuple(args.ab_dtypes.split(",")))
+    else:
+        run_study(cfg, batches, args.out)
 
 
 if __name__ == "__main__":

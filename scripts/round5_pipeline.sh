@@ -1,15 +1,17 @@
 #!/bin/bash
-# Round-5 unattended TPU pipeline (VERDICT r4 "next round" items):
-#   0. Pallas trainable-GRU A/B at production batches (post row-tiling fix,
-#      VERDICT #4) -> SCALING.json train_kernel_ab (no more "oom" rows
-#      expected; if the kernel still loses, the session deletes it).
+# Round-5 unattended TPU pipeline (VERDICT r4 "next round" items),
+# ordered by value-per-wall-clock-hour:
+#   0. 60 s native-ring soak (VERDICT #6) -> /tmp/r5_SOAK.json
 #   1. Flagship 16k retrain with ALL round-5 levers (per-item loss norm,
 #      diverse babble, b64/bf16; VERDICT #1/#2/#3)
 #      -> /tmp/r5_artifacts/TRUNet-proc + /tmp/r5_QUALITY.json
-#   2. 48 kHz retrain (b16/bf16)  -> /tmp/r5_QUALITY48.json
-#   3. large16k retrain (b16/bf16) -> /tmp/r5_QUALITYLARGE.json
-#   4. 60 s native-ring soak (VERDICT #6) -> /tmp/r5_SOAK.json
-#   5. full pytest suite in the TPU-idle window
+#   2. Pallas trainable-GRU A/B at production batches (post row-tiling fix,
+#      VERDICT #4) -> SCALING.json train_kernel_ab (no more "oom" rows
+#      expected; if the kernel still loses, the session deletes it).
+#   3. 48 kHz retrain (b16/bf16)  -> /tmp/r5_QUALITY48.json
+#   4. TBPTT long-context variant (VERDICT #7) -> /tmp/r5_QUALITYTBPTT.json
+#   5. large16k retrain (b16/bf16) -> /tmp/r5_QUALITYLARGE.json
+#   6. full pytest suite in the TPU-idle window
 #
 # Candidate outputs land in /tmp; the session compares against the
 # committed QUALITY*.json (scripts/compare_quality.py) and only promotes
@@ -27,7 +29,9 @@ exec >>"$LOG" 2>&1
 say() { echo "[$(date +%H:%M:%S)] $*"; }
 
 tpu_up() {
-    timeout 300 python - <<'EOF' >/dev/null 2>&1
+    # The tunnel's first-D2H relay handshake has been measured as slow as
+    # ~262 s on this rig (round 5); 300 s timed out three probes in a row.
+    timeout 580 python - <<'EOF' >/dev/null 2>&1
 import jax
 import jax.numpy as jnp
 x = jnp.ones((8, 8))
@@ -137,10 +141,14 @@ for exp in TRUNet-proc TRUNet-proc48 TRUNet-large; do
     fi
 done
 
-# 0. Pallas trainable-kernel A/B at production shapes (post-fix).
-run_step kernelab5 5400 python -m tinyrecurrentunet_tpu.train.scaling \
-    -c config/proc16k.json --kernel_ab_only --batches 8,16,64 \
-    --ab_dtypes float32,bfloat16 --out SCALING.json
+# Stage order is wall-clock-priority (round 5 lost ~6 h to driver overhead
+# + tunnel-handshake probe failures before the first train step): the
+# cheap soak first, then the flagship retrain (VERDICT #1/#2/#3 — the
+# round's headline), then everything else in descending value-per-hour.
+
+# 0. 60 s wall-clock soak through the native rings (VERDICT #6).
+run_step soak5 900 python -m tinyrecurrentunet_tpu.infer.soak \
+    -c config/proc16k.json --duration 60 --out /tmp/r5_SOAK.json
 
 # 1. Flagship retrain: per-item norm + diverse babble + b64/bf16.
 run_train train16 TRUNet-proc \
@@ -156,7 +164,13 @@ run_step quality16 7200 python -m tinyrecurrentunet_tpu.infer.quality \
     --int8 /tmp/r5_artifacts/TRUNet-proc/model_int8.trq \
     --out /tmp/r5_QUALITY.json
 
-# 2. 48 kHz retrain (b16/bf16 + both quality levers).
+# 2. Pallas trainable-kernel A/B at production shapes (post row-tiling
+#    fix, VERDICT #4) -> SCALING.json train_kernel_ab.
+run_step kernelab5 5400 python -m tinyrecurrentunet_tpu.train.scaling \
+    -c config/proc16k.json --kernel_ab_only --batches 8,16,64 \
+    --ab_dtypes float32,bfloat16 --out SCALING.json
+
+# 3. 48 kHz retrain (b16/bf16 + both quality levers).
 run_train train48 TRUNet-proc48 \
     python -m tinyrecurrentunet_tpu.train.loop -c config/proc48k.json --procedural
 run_cpu artifact48 1800 env JAX_PLATFORMS=cpu \
@@ -170,7 +184,26 @@ run_step quality48 7200 python -m tinyrecurrentunet_tpu.infer.quality \
     --int8 /tmp/r5_artifacts/TRUNet-proc48/model_int8.trq \
     --out /tmp/r5_QUALITY48.json
 
-# 3. large16k retrain (b16/bf16 + both quality levers).
+# 4. TBPTT long-context variant (VERDICT #7): 8 s crops as four 2 s
+#    segments with the TGRU carry crossing segment boundaries. Shortened
+#    horizon (5600 clip batches = 22400 optimizer updates, matching the
+#    config's schedule) so it fits the remaining round-5 wall clock.
+if [ ! -f "$STAMPS/wipe5_TRUNet-tbptt" ]; then
+    rm -rf ckpt/TRUNet-tbptt
+    touch "$STAMPS/wipe5_TRUNet-tbptt"
+fi
+run_train traintbptt TRUNet-tbptt \
+    python -m tinyrecurrentunet_tpu.train.loop -c config/tbptt16k.json \
+    --procedural --procedural_items 2000 --max_iters 5600
+run_cpu artifacttbptt 1800 env JAX_PLATFORMS=cpu \
+    python -m tinyrecurrentunet_tpu.train.export_pretrained \
+    -c config/tbptt16k.json --out /tmp/r5_artifacts/TRUNet-tbptt
+run_step qualitytbptt 7200 python -m tinyrecurrentunet_tpu.infer.quality \
+    -c config/tbptt16k.json --pretrained /tmp/r5_artifacts/TRUNet-tbptt \
+    --out /tmp/r5_QUALITYTBPTT.json
+
+# 5. large16k retrain (b16/bf16 + both quality levers) — last of the
+#    retrains: most likely casualty if the wall clock runs out.
 run_train trainlarge TRUNet-large \
     python -m tinyrecurrentunet_tpu.train.loop -c config/large16k.json --procedural
 run_cpu artifactlarge 1800 env JAX_PLATFORMS=cpu \
@@ -184,11 +217,7 @@ run_step qualitylarge 7200 python -m tinyrecurrentunet_tpu.infer.quality \
     --int8 /tmp/r5_artifacts/TRUNet-large/model_int8.trq \
     --out /tmp/r5_QUALITYLARGE.json
 
-# 4. 60 s wall-clock soak through the native rings (VERDICT #6).
-run_step soak5 900 python -m tinyrecurrentunet_tpu.infer.soak \
-    -c config/proc16k.json --duration 60 --out /tmp/r5_SOAK.json
-
-# 5. Full pytest suite in the TPU-idle window (single-core host:
+# 6. Full pytest suite in the TPU-idle window (single-core host:
 # never overlap a TPU trainer's dispatch loop, CLAUDE.md).
 run_cpu suite5 3600 python -m pytest tests/ -q -x
 

@@ -43,7 +43,10 @@ def _load(name: str) -> dict | None:
 
 
 def _fmt(x: float, nd: int = 3) -> str:
-    return f"{x:.{nd}f}".rstrip("0").rstrip(".")
+    s = f"{x:.{nd}f}"
+    # Only strip trailing zeros from a fractional part: "450" must stay
+    # "450" (rstrip("0") on integer strings corrupted it to "45").
+    return s.rstrip("0").rstrip(".") if "." in s else s
 
 
 def _signed(x: float, nd: int = 2) -> str:
@@ -90,6 +93,14 @@ def build_measured(bench: dict | None, scaling: dict | None) -> str | None:
             f"{_fmt(b.get('streaming_rtf_48k_spread', 0), 4)}), "
             f"{m48[0]} misses per {m48[1]}"
         )
+        if "streaming_rtf_48k_chunked2" in b:
+            line += (
+                f"; promoted deployment mode chunked K=2 (2.67 ms added "
+                f"latency): RTF "
+                f"**{_fmt(b['streaming_rtf_48k_chunked2'], 4)}**, "
+                f"{b.get('deadline_misses_48k_chunked2_per_300', 0)} misses "
+                f"per 300"
+            )
         if "streaming_rtf_48k_chunked4" in b:
             line += (
                 f"; chunked K=4 fallback (10.7 ms latency): RTF "
@@ -98,6 +109,18 @@ def build_measured(bench: dict | None, scaling: dict | None) -> str | None:
                 f"per 300"
             )
         lines.append(line)
+    if "streaming_soak_seconds" in b:
+        lines.append(
+            f"- wall-clock soak through the native C++ rings "
+            f"(`infer/soak.py`, full-duplex producer/consumer at real-time "
+            f"rate): **{round(b['streaming_soak_seconds'])} s / "
+            f"{b.get('streaming_soak_blocks', 0):,} blocks, "
+            f"{b.get('streaming_soak_xruns', 0)} xruns, "
+            f"{b.get('streaming_soak_deadline_misses', 0)} deadline "
+            f"misses**; median {_fmt(b.get('streaming_soak_median_ms', 0), 2)}"
+            f" ms, p99 {_fmt(b.get('streaming_soak_p99_ms', 0), 2)} ms, "
+            f"jitter {_fmt(b.get('streaming_soak_jitter_ms', 0), 2)} ms"
+        )
     if "chunked8_rtf" in b:
         lines.append(
             f"- chunked streaming (8 hops/call, 64 ms latency): RTF "

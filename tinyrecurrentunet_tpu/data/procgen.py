@@ -457,12 +457,23 @@ class ProceduralSpeechDataset:
         snr_range: tuple[float, float] = (-5.0, 25.0),
         seed: int = 0,
         cache: bool = True,
+        # Round-5 lever knobs, exposed so A/B retrains can isolate them:
+        # babble_style "diverse" (training crowd, _synth_babble_diverse) or
+        # "eval" (the testset's babble synthesizer); kind_schedule overrides
+        # TRAIN_KIND_SCHEDULE (e.g. ("reverb",) for the dereverb-only
+        # capability diagnostic).
+        babble_style: str = "diverse",
+        kind_schedule: tuple[str, ...] | None = None,
     ):
         self.num_items = num_items
         self.length = int(length_sec * sample_rate)
         self.sample_rate = sample_rate
         self.snr_range = snr_range
         self.seed = seed
+        self.babble_style = babble_style
+        self.kind_schedule = (
+            tuple(kind_schedule) if kind_schedule else TRAIN_KIND_SCHEDULE
+        )
         # Items are deterministic, so caching is exactly "a corpus on disk";
         # synthesis costs ~20 ms/item, which would otherwise dominate the
         # single-CPU host side of every training epoch after the first.
@@ -479,10 +490,10 @@ class ProceduralSpeechDataset:
         # Training uses the reverb-oversampled schedule + wetter DRR draw
         # (see TRAIN_KIND_SCHEDULE rationale) + the diversified babble crowd
         # (_synth_babble_diverse); testsets keep KIND_SCHEDULE + eval babble.
-        kind = TRAIN_KIND_SCHEDULE[index % len(TRAIN_KIND_SCHEDULE)]
+        kind = self.kind_schedule[index % len(self.kind_schedule)]
         target, noisy, _ = make_item_pair(
             clean, item_rng, self.sample_rate, kind, self.snr_range,
-            drr_range=TRAIN_DRR_RANGE, babble_style="diverse",
+            drr_range=TRAIN_DRR_RANGE, babble_style=self.babble_style,
         )
         item = (target, noisy, f"proc_{index}")
         if self._cache is not None:

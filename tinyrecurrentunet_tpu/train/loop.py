@@ -267,6 +267,16 @@ def main():
         help="size of the procedural training corpus",
     )
     parser.add_argument(
+        "--babble_style", default="diverse", choices=("diverse", "eval"),
+        help="training babble crowd: the diversified generator or the "
+        "testset's fixed recipe (round-5 lever isolation)",
+    )
+    parser.add_argument(
+        "--kinds", default=None,
+        help="comma-separated degradation kinds overriding the training "
+        "schedule (e.g. 'reverb' for the dereverb-only diagnostic)",
+    )
+    parser.add_argument(
         "--data_parallel",
         action="store_true",
         help="use all local devices via a data mesh",
@@ -285,10 +295,13 @@ def main():
     if args.procedural:
         from tinyrecurrentunet_tpu.data import ProceduralSpeechDataset
 
+        kinds = tuple(args.kinds.split(",")) if args.kinds else None
         dataset = ProceduralSpeechDataset(
             num_items=args.procedural_items,
             length_sec=cfg.trainset.crop_length_sec,
             sample_rate=cfg.trainset.sample_rate,
+            babble_style=args.babble_style,
+            kind_schedule=kinds,
         )
         valid_dataset = ProceduralSpeechDataset(
             num_items=32,

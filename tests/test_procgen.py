@@ -12,6 +12,7 @@ import pytest
 from tinyrecurrentunet_tpu.data.procgen import (
     ADDITIVE_KINDS,
     NOISE_KINDS,
+    TRAIN_KIND_SCHEDULE,
     ProceduralSpeechDataset,
     degrade,
     materialize_dns_testset,
@@ -230,6 +231,43 @@ class TestProceduralDataset:
         a = ProceduralSpeechDataset(num_items=1, length_sec=0.5, seed=0)
         b = ProceduralSpeechDataset(num_items=1, length_sec=0.5, seed=6_000_000)
         assert not np.array_equal(a.get(0)[0], b.get(0)[0])
+
+    def test_kind_schedule_override(self):
+        """Round-5b lever isolation: kind_schedule=('reverb',) must make
+        EVERY item a reverb item, bit-identical to the default-schedule
+        dataset at indices whose default kind is already 'reverb' (kind
+        only steers the degradation branch; the clean draw is untouched)."""
+        n = len(TRAIN_KIND_SCHEDULE)
+        base = ProceduralSpeechDataset(num_items=n, length_sec=0.5, cache=False)
+        diag = ProceduralSpeechDataset(
+            num_items=n, length_sec=0.5, cache=False, kind_schedule=("reverb",)
+        )
+        explicit = ProceduralSpeechDataset(
+            num_items=n, length_sec=0.5, cache=False,
+            kind_schedule=TRAIN_KIND_SCHEDULE,
+        )
+        rev = TRAIN_KIND_SCHEDULE.index("reverb")
+        other = TRAIN_KIND_SCHEDULE.index("white")
+        # identical where the default schedule already lands on reverb
+        assert np.array_equal(base.get(rev)[1], diag.get(rev)[1])
+        # different where it doesn't
+        assert not np.array_equal(base.get(other)[1], diag.get(other)[1])
+        # explicit default schedule reproduces the default exactly
+        for i in range(n):
+            assert np.array_equal(base.get(i)[1], explicit.get(i)[1])
+
+    def test_babble_style_knob(self):
+        """babble_style='eval' must change babble items only; non-babble
+        items are bit-identical to the diverse-crowd default."""
+        n = len(TRAIN_KIND_SCHEDULE)
+        dv = ProceduralSpeechDataset(num_items=n, length_sec=0.5, cache=False)
+        ev = ProceduralSpeechDataset(
+            num_items=n, length_sec=0.5, cache=False, babble_style="eval"
+        )
+        bab = TRAIN_KIND_SCHEDULE.index("babble")
+        other = TRAIN_KIND_SCHEDULE.index("white")
+        assert not np.array_equal(dv.get(bab)[1], ev.get(bab)[1])
+        assert np.array_equal(dv.get(other)[1], ev.get(other)[1])
 
     def test_noise_kind_coverage(self):
         """Across consecutive indices every noise kind appears (round-robin)."""
